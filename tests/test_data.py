@@ -1,0 +1,203 @@
+"""Golden tests for the data layer: GWPCA vs sklearn, window geometry vs the
+reference's divisor-stride semantics, sampler invariants, device patch gather
+vs numpy slicing."""
+
+import numpy as np
+import pytest
+
+from hsimae_tpu.data import (
+    apply_gwpca,
+    pca_fit_transform,
+    split_band_groups,
+    window_starts,
+    patch_grid_indices,
+    sample_per_class,
+    train_val_split,
+    dual_scene_split,
+    make_synthetic_scene,
+    ScenePatchSource,
+    MultiScenePatchSource,
+    augment_flips,
+)
+from hsimae_tpu.data.windows import build_pretrain_cut_index
+
+
+# ------------------------------- GWPCA ------------------------------------
+
+
+def test_split_band_groups_odd_nesting():
+    # c=103, group=4 -> recursive halving: 103 -> 51|52 -> 25|26|26|26
+    spans = split_band_groups(103, 4)
+    widths = [b - a for a, b in spans]
+    assert widths == [25, 26, 26, 26]
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+
+
+def test_pca_matches_sklearn_full_solver():
+    sk = pytest.importorskip("sklearn.decomposition")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 24))  # n <= 500 -> sklearn 'full' solver
+    ours = pca_fit_transform(x, 8, whiten=True)
+    ref = sk.PCA(n_components=8, whiten=True, random_state=42).fit_transform(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_pca_matches_sklearn_randomized_solver():
+    sk = pytest.importorskip("sklearn.decomposition")
+    rng = np.random.default_rng(1)
+    # n > 500 and k < 0.8 * f -> sklearn auto picks 'randomized'
+    x = rng.normal(size=(3000, 30)) @ rng.normal(size=(30, 30))
+    ours = pca_fit_transform(x, 8, whiten=True)
+    ref = sk.PCA(n_components=8, whiten=True, random_state=42).fit_transform(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_gwpca_matches_reference_recipe():
+    """apply_gwpca == global min-max norm + per-group sklearn PCA, concat."""
+    sk = pytest.importorskip("sklearn.decomposition")
+    scene, _ = make_synthetic_scene(30, 25, bands=103, seed=3)
+    ours = apply_gwpca(scene, nc=32, group=4)
+    assert ours.shape == (30, 25, 32)
+
+    x = scene.reshape(-1, 103).astype(np.float64)
+    x = (x - x.min()) / (x.max() - x.min())
+    outs = []
+    for a, b in split_band_groups(103, 4):
+        outs.append(
+            sk.PCA(n_components=8, whiten=True, random_state=42).fit_transform(x[:, a:b])
+        )
+    ref = np.concatenate(outs, -1).reshape(30, 25, 32)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------ windows ------------------------------------
+
+
+def test_window_starts_divisor_semantics():
+    # stride is a divisor: step = size // stride; last window clamped flush.
+    s = window_starts(100, 9, 1)  # non-overlapping
+    assert s[0] == 0 and s[-1] == 91
+    assert all(np.diff(s)[:-1] == 9)
+    s3 = window_starts(100, 9, 3)  # step 3
+    assert all(np.diff(s3)[:-1] == 3) and s3[-1] == 91
+    pp = window_starts(100, 9, 9)  # per-pixel
+    np.testing.assert_array_equal(pp[:-1], np.arange(0, 91, 1)[:-0 or None][: len(pp) - 1])
+    assert pp[-1] == 91
+
+    # exact divisibility: plain non-overlapping tiling
+    s = window_starts(27, 9, 1)
+    np.testing.assert_array_equal(s, [0, 9, 18])
+
+
+def test_per_pixel_grid_covers_all_pixels():
+    # padded per-pixel mode: h+2p scene, ps windows, divisor ps -> step 1
+    h, w, ps = 17, 13, 9
+    grid = patch_grid_indices(h + ps - 1, w + ps - 1, ps, stride=ps)
+    assert len(grid) == h * w
+    # row-major pixel order
+    np.testing.assert_array_equal(grid[:3, 1], [0, 1, 2])
+    np.testing.assert_array_equal(grid[::w, 0], np.arange(h))
+
+
+def test_pretrain_cut_index_policies():
+    shapes = [(40, 40, 32)] * 15 + [(30, 30, 32)]
+    idx = build_pretrain_cut_index(shapes, patch_size=9, ratio=0.5)
+    locs = idx.locs
+    # scene 15 (>= coarse_from) uses non-overlapping step-9 windows
+    s15 = locs[locs[:, 2] == 15]
+    assert len(s15) == len(window_starts(30, 9, 1)) ** 2
+    # early scenes use step-3 windows subsampled to ratio
+    s0 = locs[locs[:, 2] == 0]
+    full = len(window_starts(40, 9, 3)) ** 2
+    assert len(s0) == int(full * 0.5)
+
+
+# ------------------------------ sampling -----------------------------------
+
+
+def test_sample_per_class_quota_and_testgt():
+    _, gt = make_synthetic_scene(48, 48, bands=16, n_classes=5, seed=7)
+    rng = np.random.default_rng(0)
+    idx, test_gt = sample_per_class(gt.reshape(-1), num=10, rng=rng)
+    labels = gt.reshape(-1)[idx]
+    assert (labels != 0).all()
+    for c in range(1, 6):
+        assert (labels == c).sum() == min(10, (gt == c).sum())
+    # train pixels zeroed in test_gt, everything else untouched
+    assert (test_gt[idx] == 0).all()
+    mask = np.ones(gt.size, bool)
+    mask[idx] = False
+    np.testing.assert_array_equal(test_gt[mask], gt.reshape(-1)[mask])
+
+
+def test_sample_per_class_exact_population_quirk():
+    gt = np.array([1] * 10 + [2] * 50)  # class 1 population == num
+    idx, _ = sample_per_class(gt, num=10, rng=np.random.default_rng(0))
+    labels = gt[idx]
+    assert (labels == 1).sum() == 5  # num - 5 quirk (Preprocessing.py:246-250)
+    assert (labels == 2).sum() == 10
+
+
+def test_train_val_split_stratified():
+    labels = np.array([1] * 20 + [2] * 10 + [3] * 30)
+    indices = np.arange(60) * 7
+    tr_i, tr_l, va_i, va_l = train_val_split(indices, labels, 0.5, np.random.default_rng(1))
+    assert len(tr_i) + len(va_i) == 60
+    for c in (1, 2, 3):
+        assert abs((tr_l == c).sum() - (va_l == c).sum()) <= 1
+    # returned indices are drawn from the given pool
+    assert set(tr_i) | set(va_i) <= set(indices)
+
+
+def test_dual_scene_split_shapes():
+    scene, gt = make_synthetic_scene(40, 36, bands=64, n_classes=4, seed=5)
+    split = dual_scene_split(scene, gt, patch_size=9, num=8, gwpca=True)
+    assert split.scene.shape == (40, 36, 32)
+    assert split.unlabeled_starts.shape[1] == 2
+    assert (split.labels >= 1).all()
+    assert split.test_gt.shape == gt.shape
+    # every labeled pixel zeroed in test_gt
+    assert (split.test_gt.reshape(-1)[split.labeled_index] == 0).all()
+
+
+# ------------------------------ pipeline -----------------------------------
+
+
+def test_scene_patch_source_matches_numpy():
+    scene, _ = make_synthetic_scene(20, 17, bands=12, seed=2)
+    src = ScenePatchSource(scene, patch_size=9)
+    padded = np.pad(scene, ((4, 4), (4, 4), (0, 0)), mode="symmetric")
+    idx = np.array([0, 5, 17 * 20 - 1, 37])
+    got = np.asarray(src.gather_pixels(idx))
+    for k, i in enumerate(idx):
+        r, c = divmod(i, 17)
+        np.testing.assert_allclose(got[k], padded[r : r + 9, c : c + 9, :], rtol=1e-6)
+
+    starts = np.array([[0, 0], [11, 8]])
+    got = np.asarray(src.gather_windows(starts))
+    np.testing.assert_allclose(got[1], scene[11:20, 8:17, :], rtol=1e-6)
+
+
+def test_multi_scene_source_norm_and_gather():
+    rng = np.random.default_rng(0)
+    scenes = [rng.normal(size=(20, 15, 8)).astype(np.float32) for _ in range(3)]
+    mins = np.array([s.min() for s in scenes], np.float32)
+    maxs = np.array([s.max() for s in scenes], np.float32)
+    src = MultiScenePatchSource(scenes, patch_size=9, scene_min=mins, scene_max=maxs)
+    locs = np.array([[3, 2, 1], [0, 0, 2], [11, 6, 0]], np.int32)
+    got = np.asarray(src.gather(locs))
+    for k, (r, c, s) in enumerate(locs):
+        want = (scenes[s][r : r + 9, c : c + 9, :] - mins[s]) / (maxs[s] - mins[s])
+        np.testing.assert_allclose(got[k], want, rtol=1e-5)
+
+
+def test_augment_flips_are_axis_reversals():
+    import jax
+
+    x = np.arange(2 * 4 * 4 * 3, dtype=np.float32).reshape(2, 4, 4, 3)
+    # p=1: both flips always applied
+    y = np.asarray(augment_flips(x, jax.random.key(0), p=1.0))
+    np.testing.assert_allclose(y, x[:, ::-1, ::-1, :])
+    # p=0: identity
+    y = np.asarray(augment_flips(x, jax.random.key(0), p=0.0))
+    np.testing.assert_allclose(y, x)
