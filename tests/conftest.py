@@ -1,9 +1,19 @@
 """Test environment: force an 8-device virtual CPU mesh so data/tensor
-parallel paths are exercised without TPU hardware."""
+parallel paths are exercised without TPU hardware.
+
+The axon sitecustomize registers the TPU backend in every interpreter and
+sets ``jax_platforms='axon,cpu'`` via jax.config (which overrides the
+JAX_PLATFORMS env var), so we must update the config, not just the env.
+XLA_FLAGS must be in place before the CPU backend initializes (it is lazy,
+so setting it here — before any test touches a device — is early enough).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
