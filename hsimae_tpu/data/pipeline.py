@@ -162,6 +162,7 @@ def batch_indices(
         valid = np.ones(len(chunk), dtype=bool)
         if len(chunk) < batch_size and pad_to_full:
             need = batch_size - len(chunk)
-            chunk = np.concatenate([chunk, order[:need]])
+            fill = np.resize(order, need)  # tile if the pool is tiny
+            chunk = np.concatenate([chunk, fill])
             valid = np.concatenate([valid, np.zeros(need, dtype=bool)])
         yield chunk, valid

@@ -1,0 +1,87 @@
+"""Full-scene per-pixel sliding-window classification + metrics + colormaps.
+
+TPU-native counterpart of ``test_model``
+(`/root/reference/Model_Finetuning.py:243-301`):
+
+* an HSIViT (encoder + AGG head, no decoder) loads fine-tuned weights by key
+  intersection,
+* every pixel of the scene gets a patch centered on it (symmetric padding),
+  gathered on device in large static batches instead of a host DataLoader,
+* background is excluded at argmax over ``logits[:, 1:]`` then +1 (`:277-280`),
+* OA / AA / kappa / per-class are computed on ``test_gt != 0`` pixels,
+* classification maps (full + gt-masked) are rendered with the reference's
+  20-color palette.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hsimae_tpu.config import EvalConfig, ModelConfig
+from hsimae_tpu.checkpoints.io import partial_restore
+from hsimae_tpu.data.pipeline import ScenePatchSource, batch_indices
+from hsimae_tpu.models.hsimae import HSIMAE, build_hsi_vit, init_model
+from hsimae_tpu.utils.colormap import label_to_colormap, save_colormap
+from hsimae_tpu.utils.metrics import Metrics, classification_metrics
+
+
+@dataclasses.dataclass
+class SceneEvalResult:
+    pred_map: np.ndarray  # [h, w] predicted labels (1-based; never 0)
+    metrics: Metrics
+    logits_argmax_all: np.ndarray  # [h, w] raw argmax incl. background logit
+
+
+def classify_scene(
+    scene: np.ndarray,
+    params: dict,
+    model_cfg: ModelConfig,
+    num_classes: int,
+    cfg: EvalConfig = EvalConfig(),
+) -> np.ndarray:
+    """Predict a label for every pixel -> [h, w] int32 (1-based)."""
+    model = build_hsi_vit(model_cfg, num_classes)
+    tgt = init_model(model, seed=0)["params"]
+    params, _, _ = partial_restore(tgt, params, verbose=False)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x, False, method=HSIMAE.classify)
+
+    source = ScenePatchSource(scene, model_cfg.img_size)
+    h, w = scene.shape[:2]
+    n = h * w
+    bs = min(cfg.batch_size, n)
+    out = np.zeros(n, np.int32)
+    for chunk, valid in batch_indices(n, bs, shuffle=False):
+        logits = np.asarray(fwd(params, source.gather_pixels(chunk)))
+        # background logit excluded, +1 (`Model_Finetuning.py:277-280`)
+        pred = np.argmax(logits[:, 1:], axis=1) + 1
+        out[chunk[valid]] = pred[valid]
+    return out.reshape(h, w)
+
+
+def evaluate_scene(
+    scene: np.ndarray,
+    test_gt: np.ndarray,
+    params: dict,
+    model_cfg: ModelConfig,
+    num_classes: int,
+    cfg: EvalConfig = EvalConfig(),
+    save_dir: Optional[str] = None,
+    name: str = "scene",
+) -> SceneEvalResult:
+    pred_map = classify_scene(scene, params, model_cfg, num_classes, cfg)
+    m = classification_metrics(test_gt, pred_map)
+    if save_dir and cfg.save_colormaps:
+        os.makedirs(save_dir, exist_ok=True)
+        save_colormap(os.path.join(save_dir, f"{name}_pred.png"), pred_map)
+        masked = np.where(test_gt != 0, pred_map, 0)
+        save_colormap(os.path.join(save_dir, f"{name}_pred_masked.png"), masked)
+    return SceneEvalResult(pred_map=pred_map, metrics=m, logits_argmax_all=pred_map)

@@ -1,0 +1,158 @@
+"""MAE pretraining: jitted+sharded train step and the epoch loop.
+
+TPU-native counterpart of ``mask_pretraining``
+(`/root/reference/Model_Pretraining.py:57-113`):
+
+* scenes stay resident in HBM; each step gathers its 9x9 patch batch on
+  device from an int32 cut-index slice (no host-side patch materialization,
+  no per-step H2D image copy),
+* flip augmentation runs on device from PRNG keys,
+* the kept-grid shape ``(len_t, len_l)`` is sampled on host per batch and is
+  a static jit argument — a handful of specializations instead of dynamic
+  shapes (`SURVEY.md` §7 hard-parts),
+* the step rng derives from (seed, global step), so resume is bit-exact
+  without serializing PRNG state,
+* data parallelism: batch sharded over the mesh 'data' axis, params
+  replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from hsimae_tpu.config import ModelConfig, PretrainConfig
+from hsimae_tpu.checkpoints.io import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+)
+from hsimae_tpu.data.pipeline import MultiScenePatchSource, augment_flips, batch_indices
+from hsimae_tpu.models.hsimae import HSIMAE, build_hsimae, init_model
+from hsimae_tpu.models.masking import choose_grid_shape
+from hsimae_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from hsimae_tpu.train.optim import pretrain_optimizer
+from hsimae_tpu.utils.logger import MetricLogger
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def make_pretrain_step(model: HSIMAE, flip_augment: bool = True):
+    """Returns ``step(state, imgs, rng, len_t, len_l) -> (state, loss)``.
+
+    ``rng`` is a per-step PRNGKey; ``len_t``/``len_l`` are static.
+    """
+
+    def step(state: TrainState, imgs: jax.Array, rng: jax.Array, len_t: int, len_l: int):
+        kf, km, kd = jax.random.split(rng, 3)
+        if flip_augment:
+            imgs = augment_flips(imgs, kf)
+
+        def loss_fn(params):
+            loss, _, _, _ = model.apply(
+                {"params": params},
+                imgs,
+                len_t,
+                len_l,
+                True,
+                rngs={"mask": km, "droppath": kd},
+                method=HSIMAE.forward_pretrain,
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    return jax.jit(step, static_argnums=(3, 4), donate_argnums=(0,))
+
+
+def run_pretraining(
+    source: MultiScenePatchSource,
+    locs: np.ndarray,
+    model_cfg: ModelConfig,
+    cfg: PretrainConfig,
+    workdir: Optional[str] = None,
+    mesh=None,
+    resume: bool = True,
+    logger: Optional[MetricLogger] = None,
+):
+    """Epoch loop over the cut index. Returns (params, history dict)."""
+    model = build_hsimae(model_cfg)
+    variables = init_model(model, seed=cfg.seed)
+    params = variables["params"]
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    dsize = int(mesh.shape["data"]) if mesh is not None else 1
+    bs = pad_to_multiple(min(cfg.batch_size, len(locs)), dsize)
+
+    n = len(locs)
+    steps_per_epoch = int(np.ceil(n / bs))
+    total_steps = steps_per_epoch * cfg.epochs
+    tx, sched = pretrain_optimizer(
+        cfg.lr, cfg.weight_decay, total_steps,
+        warmup_frac=cfg.warmup_frac, lr_min=cfg.lr_min,
+        b1=cfg.adam_b1, b2=cfg.adam_b2,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    start_epoch = 0
+    if resume and workdir:
+        ck = latest_checkpoint(workdir)
+        if ck:
+            state = restore_checkpoint(ck, state)
+            start_epoch = int(state.step) // steps_per_epoch
+            print(f"[pretrain] resumed from {ck} at epoch {start_epoch}")
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+    step_fn = make_pretrain_step(model)
+    logger = logger or MetricLogger(workdir)
+    epoch_losses = []
+    t_size, l_size = model_cfg.t_size, model_cfg.l_size
+
+    for epoch in range(start_epoch, cfg.epochs):
+        # per-epoch reseeded shuffle, the reference's `stable(loader, 42+epoch)`
+        ep_rng = np.random.default_rng(cfg.seed + epoch)
+        shape_rng = _pyrandom.Random(cfg.seed * 1000 + epoch)
+        ep_loss, ep_steps = 0.0, 0
+        t0 = time.perf_counter()
+        for chunk, _valid in batch_indices(n, bs, rng=ep_rng):
+            imgs = source.gather(locs[chunk])
+            if mesh is not None:
+                imgs = shard_batch(imgs, mesh)
+            len_t, len_l = choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
+            rng = jax.random.fold_in(base_key, int(state.step))
+            state, loss = step_fn(state, imgs, rng, len_t, len_l)
+            ep_steps += 1
+            if ep_steps % cfg.log_every == 0:
+                logger.log(step=int(state.step), loss=float(loss),
+                           lr=float(sched(int(state.step) - 1)))
+            ep_loss += float(loss)  # device sync once per step, like .item()
+        dt = time.perf_counter() - t0
+        mean_loss = ep_loss / max(ep_steps, 1)
+        epoch_losses.append(mean_loss)
+        pps = ep_steps * bs / dt
+        logger.log(epoch=epoch, epoch_loss=mean_loss, patches_per_sec=pps)
+        print(f"[pretrain] epoch {epoch}: loss {mean_loss:.4f}  {pps:,.0f} patches/s")
+        if workdir and cfg.checkpoint_every_steps and (
+            (epoch + 1) * steps_per_epoch % cfg.checkpoint_every_steps < steps_per_epoch
+        ):
+            save_checkpoint(workdir, int(state.step), state)
+
+    params = jax.device_get(state.params)
+    if workdir:
+        save_params(f"{workdir}/params_final.msgpack", params)
+        np.save(f"{workdir}/train_log.npy",
+                np.array([epoch_losses, []], dtype=object))
+    return params, {"epoch_loss": epoch_losses}

