@@ -1,11 +1,12 @@
 """Headline benchmark: MAE pretraining throughput (patches/sec/chip).
 
 Runs the full HSIMAE-B pretraining step — on-device patch gather from a
-resident multi-scene buffer, flip augmentation, spatial-spectral grid
-masking, separable encoder, decoder, masked loss, AdamW update — at the
-reference's production config (batch 512, 9x9x32 patches, mask 0.5;
-`/root/reference/Model_Pretraining.py:119-134`) and reports steady-state
-patches/sec on the current accelerator.
+resident multi-scene buffer, per-scene normalization, flip augmentation,
+spatial-spectral grid masking, separable encoder, decoder, masked loss, AdamW
+update — at the reference's production config (batch 512, 9x9x32 patches,
+mask 0.5; `/root/reference/Model_Pretraining.py:119-134`), using the fused
+multi-step dispatch (`lax.scan` over full train steps, bf16 compute / f32
+params) and reports steady-state patches/sec on the current accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -28,21 +29,21 @@ import numpy as np
 REF_A100_PATCHES_PER_SEC = 100_000.0  # generous estimate; see module docstring
 
 BATCH = 512
-WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+SCAN_STEPS = 50
+WARMUP_CHUNKS = 2
+MEASURE_CHUNKS = 6
 
 
 def main():
     from hsimae_tpu.config import PretrainConfig, preset
     from hsimae_tpu.data.pipeline import MultiScenePatchSource
-    from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
     from hsimae_tpu.data.windows import build_pretrain_cut_index
     from hsimae_tpu.models.hsimae import build_hsimae, init_model
     from hsimae_tpu.models.masking import grid_shape_candidates
     from hsimae_tpu.train.optim import pretrain_optimizer
-    from hsimae_tpu.train.pretrain import TrainState, make_pretrain_step
+    from hsimae_tpu.train.pretrain import TrainState, make_fused_pretrain_chunk
 
-    cfg = preset("HSIMAE-B")
+    cfg = preset("HSIMAE-B", compute_dtype=jnp.bfloat16)
     pt = PretrainConfig(batch_size=BATCH)
 
     scenes = [np.random.default_rng(i).standard_normal((128, 128, cfg.bands)).astype(np.float32)
@@ -54,9 +55,9 @@ def main():
 
     model = build_hsimae(cfg)
     params = init_model(model, seed=0)["params"]
-    tx, _ = pretrain_optimizer(pt.lr, pt.weight_decay, total_steps=10_000)
+    tx, _ = pretrain_optimizer(pt.lr, pt.weight_decay, total_steps=100_000)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-    step_fn = make_pretrain_step(model)
+    chunk_fn = make_fused_pretrain_chunk(model, source)
 
     # fixed kept-grid shape for steady-state timing (the most common one)
     len_t, len_l = grid_shape_candidates(cfg.t_size, cfg.l_size, pt.mask_ratio)[0]
@@ -64,22 +65,22 @@ def main():
     key = jax.random.PRNGKey(0)
     rng_np = np.random.default_rng(0)
 
-    def one_step(state, i):
-        sel = rng_np.integers(0, len(locs), BATCH)
-        imgs = source.gather(locs[sel])
-        return step_fn(state, imgs, jax.random.fold_in(key, i), len_t, len_l)
+    def one_chunk(state, i):
+        sel = rng_np.integers(0, len(locs), (SCAN_STEPS, BATCH))
+        locs_chunk = jnp.asarray(locs[sel])
+        return chunk_fn(state, locs_chunk, jax.random.fold_in(key, i), len_t, len_l)
 
-    for i in range(WARMUP_STEPS):
-        state, loss = one_step(state, i)
+    for i in range(WARMUP_CHUNKS):
+        state, loss = one_chunk(state, i)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, loss = one_step(state, WARMUP_STEPS + i)
+    for i in range(MEASURE_CHUNKS):
+        state, loss = one_chunk(state, WARMUP_CHUNKS + i)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
 
-    pps = MEASURE_STEPS * BATCH / dt
+    pps = MEASURE_CHUNKS * SCAN_STEPS * BATCH / dt
     n_chips = jax.device_count()
     pps_chip = pps / max(n_chips, 1)
     print(json.dumps({

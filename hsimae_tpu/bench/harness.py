@@ -1,0 +1,230 @@
+"""Generic baseline training / evaluation harness.
+
+Behavioral equivalent of the reference's ``training`` / ``test_model`` loops
+(`/root/reference/Compared_Experiment.py:108-317`) for the flax zoo:
+
+* supervised few-shot split (``get_data_set`` semantics): per-pixel patches
+  from the padded scene, ``num`` samples/class, train pixels zeroed from
+  ``test_gt``,
+* 50/50 stratified train/val split, CE(ignore_index=0), per-epoch val
+  OA/AA/kappa, optional EarlyStopping(30) keeping the best params,
+* per-model optimizer/schedule from :mod:`hsimae_tpu.bench.registry`.
+  Scheduler quirk preserved: the reference steps ``ReduceLROnPlateau`` with
+  the EPOCH NUMBER as the metric (`Compared_Experiment.py:258-259`), which in
+  min-mode decays the lr every ``patience+1`` epochs unconditionally — so
+  "plateau" here is exactly ``lr0 * factor^floor(epoch/(patience+1))``.
+* learning rates are injected per epoch via ``optax.inject_hyperparams`` so
+  one compiled step serves every schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hsimae_tpu.bench.registry import BaselineSpec
+from hsimae_tpu.data.pipeline import ScenePatchSource, augment_flips, batch_indices
+from hsimae_tpu.data.sampling import sample_per_class, train_val_split
+from hsimae_tpu.train.finetune import cross_entropy_ignore0
+from hsimae_tpu.train.optim import timm_cosine_schedule
+from hsimae_tpu.utils.metrics import Metrics, classification_metrics
+
+
+def preprocess_scene(scene: np.ndarray, spec: BaselineSpec) -> np.ndarray:
+    """data_trans (`Compared_Experiment.py:77-105`): optional global PCA,
+    min-max norm to [norm], optional per-band centering."""
+    scene = np.asarray(scene, np.float64)
+    if spec.pca_nc is not None:
+        from hsimae_tpu.data.gwpca import pca_fit_transform
+
+        h, w, c = scene.shape
+        scene = pca_fit_transform(scene.reshape(-1, c), spec.pca_nc,
+                                  whiten=spec.pca_whiten).reshape(h, w, spec.pca_nc)
+    if spec.norm is not None:
+        hi, lo = spec.norm
+        scene = (scene - scene.min()) / (scene.max() - scene.min())
+        scene = scene * (hi - lo) + lo
+    if spec.center:
+        scene = scene - scene.mean(axis=(0, 1), keepdims=True)
+    return np.ascontiguousarray(scene, np.float32)
+
+
+def epoch_lr(spec: BaselineSpec, lr0: float, epoch: int) -> float:
+    if spec.scheduler == "none":
+        return lr0
+    if spec.scheduler == "plateau":
+        return lr0 * spec.plateau_factor ** (epoch // (spec.plateau_patience + 1))
+    if spec.scheduler == "step":
+        step_size = max(spec.epochs // 10, 1)
+        return lr0 * spec.step_gamma ** (epoch // step_size)
+    if spec.scheduler == "cosine":
+        sched = timm_cosine_schedule(
+            lr0, t_initial=spec.epochs,
+            warmup_t=int(np.ceil(0.1 * spec.epochs)),
+            lr_min=lr0 * 0.01, warmup_lr_init=lr0 * 0.01)
+        return float(sched(epoch))
+    raise KeyError(spec.scheduler)
+
+
+def make_optimizer(spec: BaselineSpec, lr0: float):
+    if spec.optimizer == "rmsprop":
+        return optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=lr0, momentum=0.9)
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr0, weight_decay=spec.weight_decay)
+
+
+def _set_lr(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+@dataclasses.dataclass
+class BaselineRun:
+    variables: dict
+    val_metrics: Metrics
+    history: dict
+
+
+def train_baseline(
+    scene: np.ndarray,
+    gt: np.ndarray,
+    spec: BaselineSpec,
+    lr: float = 1e-3,
+    samples_per_class: Optional[int] = 10,
+    percent: Optional[float] = None,
+    seed: int = 3407,
+    flip_augment: bool = True,
+    verbose: bool = False,
+):
+    """Train one baseline on one scene; returns (BaselineRun, test_gt)."""
+    rng_np = np.random.default_rng(seed)
+    scene_p = preprocess_scene(scene, spec)
+    model = spec.build(scene_p.shape[-1], int(gt.max()) + 1, "synthetic")
+
+    train_index, test_gt = sample_per_class(
+        gt.reshape(-1), num=samples_per_class, percent=percent, rng=rng_np)
+    labels = gt.reshape(-1)[train_index].astype(np.int32)
+    tr_i, tr_y, va_i, va_y = train_val_split(train_index, labels, 0.5, rng=rng_np)
+
+    source = ScenePatchSource(scene_p, spec.patch_size)
+    bs = min(spec.batch_size, len(tr_i))
+
+    x0 = source.gather_pixels(tr_i[:2])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
+        x0, False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    tx = make_optimizer(spec, lr)
+    opt_state = tx.init(params)
+    has_bn = bool(batch_stats)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, w, rng):
+        def loss_fn(p):
+            vars_in = {"params": p}
+            if has_bn:
+                vars_in["batch_stats"] = batch_stats
+            out = model.apply(
+                vars_in, x, True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if has_bn else [],
+            )
+            logits, new_vars = out if isinstance(out, tuple) else (out, {})
+            return cross_entropy_ignore0(logits, y, w), (logits, new_vars)
+
+        (loss, (logits, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        bs2 = new_vars.get("batch_stats", batch_stats)
+        return params2, bs2, opt_state2, loss, logits
+
+    @jax.jit
+    def eval_step(params, batch_stats, x):
+        vars_in = {"params": params}
+        if has_bn:
+            vars_in["batch_stats"] = batch_stats
+        return model.apply(vars_in, x, False)
+
+    key = jax.random.PRNGKey(seed)
+    hist = {"loss": [], "val_mean3": []}
+    best_score, best = -1.0, None
+    patience, bad = 30, 0
+
+    for epoch in range(spec.epochs):
+        ep_rng = np.random.default_rng(seed + 7000 + epoch)
+        opt_state = _set_lr(opt_state, epoch_lr(spec, lr, epoch))
+        ep_loss, steps = 0.0, 0
+        for chunk, valid in batch_indices(len(tr_i), bs, rng=ep_rng):
+            x = source.gather_pixels(tr_i[chunk])
+            rng = jax.random.fold_in(key, epoch * 10000 + steps)
+            if flip_augment:
+                x = augment_flips(x, jax.random.fold_in(rng, 1))
+            y = jnp.asarray(tr_y[chunk] * valid, jnp.int32)
+            w = jnp.asarray(valid, jnp.float32)
+            params, batch_stats, opt_state, loss, _ = train_step(
+                params, batch_stats, opt_state, x, y, w, rng)
+            ep_loss += float(loss)
+            steps += 1
+        hist["loss"].append(ep_loss / max(steps, 1))
+
+        vp, vg = [], []
+        for chunk, valid in batch_indices(len(va_i), min(512, len(va_i)), shuffle=False):
+            logits = eval_step(params, batch_stats, source.gather_pixels(va_i[chunk]))
+            vp.append(np.asarray(jnp.argmax(logits, -1))[valid])
+            vg.append(va_y[chunk][valid])
+        vm = classification_metrics(np.concatenate(vg), np.concatenate(vp))
+        hist["val_mean3"].append(vm.mean3)
+        if verbose:
+            print(f"[{spec.name}] epoch {epoch}: loss {hist['loss'][-1]:.4f} "
+                  f"val mean3 {vm.mean3:.4f}")
+
+        if vm.mean3 > best_score:
+            best_score, best = vm.mean3, (jax.device_get(params),
+                                          jax.device_get(batch_stats), vm)
+            bad = 0
+        elif spec.early_stop:
+            bad += 1
+            if bad >= patience:
+                break
+
+    if spec.early_stop and best is not None:
+        params, batch_stats, vm = best
+    variables = {"params": params, "batch_stats": batch_stats} if has_bn else {
+        "params": params}
+    return BaselineRun(variables=variables, val_metrics=vm, history=hist), test_gt, scene_p
+
+
+def evaluate_baseline(
+    run: BaselineRun,
+    scene_p: np.ndarray,
+    test_gt: np.ndarray,
+    spec: BaselineSpec,
+    n_classes: int,
+    batch_size: int = 2048,
+) -> Metrics:
+    """Full-scene per-pixel inference (`Compared_Experiment.py:275-317`)."""
+    model = spec.build(scene_p.shape[-1], n_classes, "synthetic")
+    source = ScenePatchSource(scene_p, spec.patch_size)
+
+    @jax.jit
+    def fwd(x):
+        return model.apply(run.variables, x, False)
+
+    h, w = scene_p.shape[:2]
+    n = h * w
+    out = np.zeros(n, np.int32)
+    for chunk, valid in batch_indices(n, min(batch_size, n), shuffle=False):
+        logits = np.asarray(fwd(source.gather_pixels(chunk)))
+        pred = np.argmax(logits[:, 1:], axis=1) + 1
+        out[chunk[valid]] = pred[valid]
+    return classification_metrics(test_gt, out.reshape(test_gt.shape))

@@ -1,0 +1,96 @@
+"""Shared CLI plumbing: scene loading (real ``.npy`` cubes or synthetic),
+model-preset selection, and checkpoint loading (native msgpack or torch pkl).
+
+The reference has no CLI at all — every entry point is an ``if __name__``
+block with hard-coded constants (`/root/reference/Model_Pretraining.py:116`,
+`/root/reference/Model_Finetuning.py:304`). These argparse front-ends expose
+the same knobs with the same defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hsimae_tpu.config import ModelConfig, PRESETS, preset
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model", default="HSIMAE-B", choices=sorted(PRESETS),
+                   help="size preset [depth, dim, s_depth] per the reference")
+    p.add_argument("--img-size", type=int, default=9)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--patch-size", type=int, default=3)
+    p.add_argument("--b-patch-size", type=int, default=8)
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 compute dtype (params stay f32)")
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+
+
+def model_config(args) -> ModelConfig:
+    import jax.numpy as jnp
+
+    return preset(
+        args.model,
+        img_size=args.img_size,
+        bands=args.bands,
+        patch_size=args.patch_size,
+        b_patch_size=args.b_patch_size,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
+    p.add_argument("--scene", default=None, help=".npy [h, w, bands] cube")
+    if labeled:
+        p.add_argument("--gt", default=None, help=".npy [h, w] labels; 0=background")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a generated scene (no dataset needed)")
+    p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--synthetic-bands", type=int, default=103)
+    p.add_argument("--synthetic-classes", type=int, default=6)
+    p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
+
+
+def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
+    if args.synthetic:
+        from hsimae_tpu.data.synthetic import make_synthetic_scene
+
+        return make_synthetic_scene(
+            args.synthetic_size, args.synthetic_size,
+            bands=args.synthetic_bands, n_classes=args.synthetic_classes,
+            seed=getattr(args, "seed", 0),
+        )
+    if not args.scene or not getattr(args, "gt", None):
+        raise SystemExit("need --scene and --gt, or --synthetic")
+    return np.load(args.scene), np.load(args.gt)
+
+
+def load_pretrain_scenes(args) -> List[np.ndarray]:
+    if args.synthetic:
+        from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
+
+        return make_synthetic_pretrain_scenes(
+            n_scenes=args.synthetic_scenes,
+            size_range=(args.synthetic_size // 2, args.synthetic_size),
+            bands=args.synthetic_bands,
+            seed=getattr(args, "seed", 0),
+        )
+    if not args.scenes:
+        raise SystemExit("need --scenes *.npy, or --synthetic")
+    return [np.load(p) for p in args.scenes]
+
+
+def load_any_checkpoint(path: Optional[str]) -> Optional[dict]:
+    """msgpack (native) or torch .pkl/.pth (published HF checkpoints)."""
+    if not path:
+        return None
+    if path.endswith((".pkl", ".pth", ".pt", ".bin")):
+        from hsimae_tpu.checkpoints.torch_convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    from hsimae_tpu.checkpoints.io import load_params
+
+    return load_params(path)

@@ -1,0 +1,64 @@
+"""Full-scene inference CLI — mirrors ``test_model``
+(`/root/reference/Model_Finetuning.py:243-301`): load fine-tuned params into
+an encoder-only HSIViT by key intersection, classify every pixel, report
+OA/AA/kappa/per-class, and save prediction colormaps.
+
+    python -m hsimae_tpu.cli.evaluate --synthetic --params /tmp/ft/finetuned.msgpack \
+        --num-classes 7 --out /tmp/eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from hsimae_tpu.cli.common import (
+    add_data_args,
+    add_model_args,
+    load_any_checkpoint,
+    load_labeled_scene,
+    model_config,
+)
+from hsimae_tpu.config import EvalConfig
+from hsimae_tpu.data.gwpca import apply_gwpca
+from hsimae_tpu.train.evaluate import evaluate_scene
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    add_data_args(p, labeled=True)
+    p.add_argument("--params", required=True, help=".msgpack or torch .pkl")
+    p.add_argument("--num-classes", type=int, required=True,
+                   help="including background class 0")
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--out", default=None, help="dir for colormap PNGs")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    scene, gt = load_labeled_scene(args)
+    mcfg = model_config(args)
+    if args.gwpca:
+        scene = apply_gwpca(scene, nc=mcfg.bands)
+    params = load_any_checkpoint(args.params)
+    res = evaluate_scene(
+        scene.astype(np.float32), gt, params, mcfg, args.num_classes,
+        EvalConfig(batch_size=args.batch_size),
+        save_dir=args.out, name="scene",
+    )
+    m = res.metrics
+    print(json.dumps({
+        "oa": round(100 * m.oa, 2), "aa": round(100 * m.aa, 2),
+        "kappa": round(100 * m.kappa, 2),
+        "per_class": [round(100 * float(x), 2) for x in m.per_class],
+    }))
+    return res
+
+
+if __name__ == "__main__":
+    main()

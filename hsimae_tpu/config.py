@@ -131,6 +131,9 @@ class PretrainConfig:
     seed: int = 42
     log_every: int = 50
     checkpoint_every_steps: int = 0  # 0 = only save at end (reference behavior)
+    # steps fused into one dispatch by lax.scan (0 = eager per-step path);
+    # the kept-grid shape is resampled once per chunk instead of per step
+    fused_steps: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

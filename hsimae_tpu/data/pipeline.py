@@ -26,6 +26,17 @@ def _pad_scene(scene: np.ndarray, pad: int) -> np.ndarray:
     return np.pad(scene, ((pad, pad), (pad, pad), (0, 0)), mode="symmetric")
 
 
+def _flat_take(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with a FLATTENED index vector. The TPU (Mosaic/axon)
+    compiler handles 1-D-index gathers well but takes pathologically long to
+    compile the same gather with a multi-dim index array — measured minutes
+    vs <1s for [B, 9, 9] vs [B*81] indices — so every gather here flattens
+    first and reshapes after."""
+    b = idx.shape
+    out = jnp.take(flat, idx.reshape(-1), axis=0)
+    return out.reshape(*b, flat.shape[-1])
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _gather_patches(flat: jax.Array, starts: jax.Array, width: int, ps: int) -> jax.Array:
     """Gather ``[B, ps, ps, C]`` windows from a flattened ``[H*W, C]`` scene."""
@@ -33,7 +44,30 @@ def _gather_patches(flat: jax.Array, starts: jax.Array, width: int, ps: int) -> 
     rows = starts[:, 0:1] + d[None, :]  # [B, ps]
     cols = starts[:, 1:2] + d[None, :]  # [B, ps]
     idx = rows[:, :, None] * width + cols[:, None, :]  # [B, ps, ps]
-    return jnp.take(flat, idx, axis=0)  # [B, ps, ps, C]
+    return _flat_take(flat, idx)  # [B, ps, ps, C]
+
+
+def gather_multiscene(
+    flat: jax.Array,      # [sum(h*w), C] all scenes concatenated
+    widths: jax.Array,    # [n_scenes] int32
+    bases: jax.Array,     # [n_scenes] int32 flat offsets
+    mins: jax.Array,      # [n_scenes] f32 per-scene norm constants
+    maxs: jax.Array,      # [n_scenes] f32
+    locs: jax.Array,      # [B, 3] int32 (row, col, scene_id)
+    ps: int,
+) -> jax.Array:
+    """Pure multi-scene window gather + per-scene normalize. Traceable inside
+    any jitted step (the fused pretrain path closes over the scene buffers)."""
+    locs = locs.astype(jnp.int32)
+    r, c, sid = locs[:, 0], locs[:, 1], locs[:, 2]
+    w = jnp.take(widths, sid)  # [B]
+    base = jnp.take(bases, sid) + r * w + c  # [B]
+    d = jnp.arange(ps, dtype=jnp.int32)
+    idx = base[:, None, None] + d[None, :, None] * w[:, None, None] + d[None, None, :]
+    x = _flat_take(flat, idx)  # [B, ps, ps, C]
+    mn = jnp.take(mins, sid)[:, None, None, None]
+    mx = jnp.take(maxs, sid)[:, None, None, None]
+    return (x - mn) / (mx - mn)
 
 
 class ScenePatchSource:
@@ -47,7 +81,9 @@ class ScenePatchSource:
     """
 
     def __init__(self, scene: np.ndarray, patch_size: int = 9):
-        assert patch_size % 2 == 1, "even patch sizes use asymmetric pad; not needed here"
+        # odd ps: window [r-ps//2, r+ps//2]; even ps: [r-ps//2, r+ps//2) —
+        # both match the reference's symmetric pad by ps//2
+        # (`Utils/Preprocessing.py:209`, used with even sizes by GSC-ViT)
         self.h, self.w, self.c = scene.shape
         self.patch_size = patch_size
         pad = patch_size // 2
@@ -113,17 +149,10 @@ class MultiScenePatchSource:
         self._gather = jax.jit(self._gather_impl)
 
     def _gather_impl(self, locs: jax.Array) -> jax.Array:
-        ps = self.patch_size
-        locs = locs.astype(jnp.int32)
-        r, c, sid = locs[:, 0], locs[:, 1], locs[:, 2]
-        w = jnp.take(self._widths, sid)  # [B]
-        base = jnp.take(self._bases, sid) + r * w + c  # [B]
-        d = jnp.arange(ps, dtype=jnp.int32)
-        idx = base[:, None, None] + d[None, :, None] * w[:, None, None] + d[None, None, :]
-        x = jnp.take(self._flat, idx, axis=0)  # [B, ps, ps, C]
-        mn = jnp.take(self._min, sid)[:, None, None, None]
-        mx = jnp.take(self._max, sid)[:, None, None, None]
-        return (x - mn) / (mx - mn)
+        return gather_multiscene(
+            self._flat, self._widths, self._bases, self._min, self._max,
+            locs, self.patch_size,
+        )
 
     def gather(self, locs) -> jax.Array:
         return self._gather(jnp.asarray(locs))

@@ -199,18 +199,24 @@ class HSIMAE(nn.Module):
     def encode_masked(
         self, imgs: jax.Array, len_t: int, len_l: int, train: bool = True
     ) -> Tuple[jax.Array, GridMask]:
-        """Masked encoding of the kept grid (`HSIMAE.forward_encoder`)."""
+        """Masked encoding of the kept grid (`HSIMAE.forward_encoder`).
+
+        The kept set is a cross-product grid, so the token gather factors
+        into two tiny axis gathers (rows then columns of the [T, L] grid)
+        instead of one [N, K] token gather — cheaper, and the pos table
+        gather rides along by adding pos BEFORE the row/col selection.
+        """
         c = self.cfg
         n = imgs.shape[0]
-        tokens = self.patch_embed(imgs).reshape(n, c.num_patches, c.embed_dim)
+        tokens = self.patch_embed(imgs)  # [N, T, L, C]
         gm = spatial_spectral_mask(
             self.make_rng("mask"), n, c.t_size, c.l_size, len_t, len_l
         )
-        kept = gather_tokens(tokens, gm.ids_keep)
-        pos = jnp.take(self.pos_embed, gm.ids_keep.reshape(-1), axis=0).reshape(
-            n, len_t * len_l, c.embed_dim
-        )
-        x = (kept + pos.astype(kept.dtype)).reshape(n, len_t, len_l, c.embed_dim)
+        x = tokens + self.pos_embed.reshape(
+            1, c.t_size, c.l_size, c.embed_dim
+        ).astype(tokens.dtype)
+        x = jnp.take_along_axis(x, gm.ids_t[:, :, None, None], axis=1)
+        x = jnp.take_along_axis(x, gm.ids_l[:, None, :, None], axis=2)
         return self._encode_grid(x, len_t, len_l, train), gm
 
     # ----------------------------- decoder --------------------------------

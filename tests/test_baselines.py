@@ -1,0 +1,91 @@
+"""Tests for the baseline model zoo and benchmark harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsimae_tpu.bench.harness import epoch_lr, preprocess_scene, train_baseline, evaluate_baseline
+from hsimae_tpu.bench.registry import ALL_BASELINES, get_baseline_spec
+from hsimae_tpu.data.synthetic import make_synthetic_scene
+from hsimae_tpu.models import baselines as zoo
+
+
+ZOO_CASES = [
+    ("SSRN", lambda: zoo.SSRN(bands=64, num_classes=7), 9, 64),
+    ("FDSSC", lambda: zoo.FDSSC(bands=64, num_classes=7), 9, 64),
+    ("DBDA", lambda: zoo.DBDA(bands=64, num_classes=7), 9, 64),
+    ("SSFTT", lambda: zoo.SSFTT(num_classes=7, kernel_2d=32, heads=4), 13, 30),
+    ("SpectralFormer",
+     lambda: zoo.SpectralFormer(image_size=7, near_band=3, num_bands=64, num_classes=7),
+     7, 64),
+    ("RSSAN", lambda: zoo.RSSAN(bands=64, num_classes=7), 9, 64),
+    ("HybridFormer",
+     lambda: zoo.HybridFormer(image_size=15, patch_sizes=(3, 5), num_classes=7, channels=64),
+     15, 64),
+    ("GSCViT", lambda: zoo.GSCViT(num_classes=7, channels=64), 8, 64),
+    ("DCTN",
+     lambda: zoo.DCTN(layers=(1, 1, 1, 1), bands=64, num_classes=7,
+                      embed_dims=(320, 320, 512, 512),
+                      transitions=(False, True, False, False),
+                      segment_dim=(8, 8, 4, 4), mlp_ratios=(3., 3., 3., 3.)),
+     15, 64),
+    ("HiT", lambda: zoo.HiT(bands=64, num_classes=7, layers=(1, 1, 1, 1)), 15, 64),
+]
+
+
+@pytest.mark.parametrize("name,build,ps,bands", ZOO_CASES, ids=[c[0] for c in ZOO_CASES])
+def test_zoo_forward_shapes(name, build, ps, bands):
+    model = build()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, ps, ps, bands)), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, False)
+    y = model.apply(vs, x, False)
+    assert y.shape == (2, 7)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # train mode runs (dropout + BN updates)
+    kw = {"rngs": {"dropout": jax.random.PRNGKey(2)}}
+    if "batch_stats" in vs:
+        kw["mutable"] = ["batch_stats"]
+    model.apply(vs, x, True, **kw)
+
+
+def test_epoch_lr_schedules():
+    spec = get_baseline_spec("SSRN")  # plateau f=0.5 p=10
+    assert epoch_lr(spec, 1.0, 0) == 1.0
+    assert epoch_lr(spec, 1.0, 10) == 1.0
+    assert epoch_lr(spec, 1.0, 11) == 0.5
+    assert epoch_lr(spec, 1.0, 22) == 0.25
+    spec = get_baseline_spec("SpectralFormer")  # step //10 gamma .9, 1000 ep
+    assert epoch_lr(spec, 1.0, 99) == 1.0
+    assert np.isclose(epoch_lr(spec, 1.0, 100), 0.9)
+    spec = get_baseline_spec("DBDA")
+    assert np.isclose(epoch_lr(spec, 1.0, 0), 0.01)  # warmup_lr_init = lr*0.01
+
+
+def test_registry_covers_all():
+    for name in ALL_BASELINES:
+        spec = get_baseline_spec(name, "PaviaU")
+        m = spec.build(103, 10, "PaviaU")
+        assert m is not None
+
+
+def test_preprocess_scene_pca_and_norm():
+    scene, _ = make_synthetic_scene(16, 16, bands=40, seed=0)
+    spec = get_baseline_spec("SSFTT")  # pca 30, no norm
+    out = preprocess_scene(scene, spec)
+    assert out.shape == (16, 16, 30)
+    spec = get_baseline_spec("SSRN")  # norm (1,0)
+    out = preprocess_scene(scene, spec)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_train_baseline_end_to_end_tiny():
+    """One tiny SSRN run learns above chance and evaluates full-scene."""
+    import dataclasses
+
+    scene, gt = make_synthetic_scene(24, 24, bands=32, n_classes=4, seed=3)
+    spec = dataclasses.replace(get_baseline_spec("SSRN"), epochs=8, batch_size=32)
+    run, test_gt, scene_p = train_baseline(scene, gt, spec, lr=1e-2,
+                                           samples_per_class=10, seed=0)
+    m = evaluate_baseline(run, scene_p, test_gt, spec, int(gt.max()) + 1)
+    assert m.oa > 0.4  # well above 1/4 chance

@@ -1,0 +1,141 @@
+"""Numerical parity against the reference implementation (used as a test-time
+ORACLE: imported read-only from /root/reference, never copied).
+
+The deterministic eval path — PatchEmbed -> sincos pos-embed -> separable
+spatial/spectral blocks -> fusion blocks -> LayerNorm -> AGG head — is
+compared end-to-end: reference torch weights are exported via the checkpoint
+converter into the flax model and both must produce the same logits for the
+same input. This exercises every encoder component AND the torch->flax
+converter in one shot.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+
+from hsimae_tpu.checkpoints.io import partial_restore
+from hsimae_tpu.checkpoints.torch_convert import convert_torch_state_dict
+from hsimae_tpu.config import ModelConfig
+from hsimae_tpu.models.hsimae import HSIMAE, build_dual_vit, init_model
+from hsimae_tpu.models.pos_embed import sincos_3d
+
+
+CFG = ModelConfig(
+    img_size=9, patch_size=3, bands=32, b_patch_size=8,
+    embed_dim=64, depth=4, s_depth=2, num_heads=4,
+    decoder_dim=32, decoder_depth=1, decoder_num_heads=4,
+    drop_path=0.0,
+)
+N_CLASS = 5
+
+
+def _torch_dualvit():
+    import Models as ref_models  # /root/reference/Models.py
+
+    m = ref_models.DualViT(
+        img_size=CFG.img_size, patch_size=CFG.patch_size, in_chans=1,
+        bands=CFG.bands, b_patch_size=CFG.b_patch_size, num_class=N_CLASS,
+        embed_dim=CFG.embed_dim, depth=CFG.depth, num_heads=CFG.num_heads,
+        s_depth=CFG.s_depth, decoder_embed_dim=CFG.decoder_dim,
+        decoder_depth=CFG.decoder_depth, decoder_num_heads=CFG.decoder_num_heads,
+        norm_pix_loss=True, trunc_init=True, drop_path=0.0,
+    )
+    m.eval()
+    return m
+
+
+def test_pos_embed_matches_reference():
+    import Models as ref_models
+
+    ref = ref_models.get_3d_sincos_pos_embed(
+        CFG.embed_dim, CFG.t_size, CFG.grid_size, cls_token=False
+    )
+    ours = sincos_3d(CFG.embed_dim, CFG.t_size, CFG.grid_size)
+    np.testing.assert_allclose(ours, np.asarray(ref).reshape(ours.shape),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_eval_logits_match_reference():
+    tm = _torch_dualvit()
+    sd = {k: v for k, v in tm.state_dict().items()}
+    converted = convert_torch_state_dict(sd)
+
+    jm = build_dual_vit(CFG, N_CLASS, drop_path=0.0)
+    params = init_model(jm, seed=0)["params"]
+    params, loaded, _ = partial_restore(params, converted, verbose=False)
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    assert len(loaded) == n_leaves, "converter must cover every flax leaf"
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, CFG.bands, CFG.img_size, CFG.img_size)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_logits = tm(torch.from_numpy(x)[:, None]).numpy()
+
+    x_ours = jnp.asarray(x.transpose(0, 2, 3, 1))  # [B, h, w, bands]
+    ours = np.asarray(
+        jm.apply({"params": params}, x_ours, False, method=HSIMAE.classify)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_patchify_matches_reference():
+    import Models as ref_models
+    from hsimae_tpu.models.hsimae import patchify
+
+    tm = _torch_dualvit()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, CFG.bands, CFG.img_size, CFG.img_size)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm.patchify(torch.from_numpy(x)[:, None]).numpy()
+    ours = np.asarray(patchify(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                               CFG.patch_size, CFG.b_patch_size))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_masked_pretrain_loss_matches_reference_with_shared_mask():
+    """Drive BOTH models with the same kept grid: the torch model's RNG is
+    bypassed by calling its encoder/decoder pieces with a crafted mask via
+    torch.manual_seed reproduction is impossible, so instead compare the
+    decoder+loss on the UNMASKED grid (len_t=T, len_l=L: keep everything),
+    where masking is deterministic (mask=0 everywhere -> loss over nothing is
+    degenerate) — so instead this test checks the full forward under
+    mask_ratio -> 0 equivalence of the reconstruction MSE on all tokens."""
+    import Models as ref_models
+
+    tm = _torch_dualvit()
+    sd = {k: v for k, v in tm.state_dict().items()}
+    converted = convert_torch_state_dict(sd)
+    jm = build_dual_vit(CFG, N_CLASS, drop_path=0.0)
+    params = init_model(jm, seed=0)["params"]
+    params, _, _ = partial_restore(params, converted, verbose=False)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, CFG.bands, CFG.img_size, CFG.img_size)).astype(np.float32)
+    x_ours = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    # full grid kept: ids_keep = all tokens, mask = all zeros; compute the
+    # decoder prediction both ways and compare MSE over ALL tokens instead
+    t, l = CFG.t_size, CFG.l_size
+    latent = jm.apply({"params": params}, x_ours, t, l, False,
+                      rngs={"mask": jax.random.PRNGKey(0)},
+                      method=HSIMAE.encode_masked)[0]
+    ids_keep = jnp.tile(jnp.arange(t * l)[None], (2, 1))
+    pred = jm.apply({"params": params}, latent, ids_keep, False,
+                    method=HSIMAE.decode)
+
+    with torch.no_grad():
+        lat_ref, _, ids_restore, _ = tm.forward_mask_encoder(
+            torch.from_numpy(x)[:, None], 0.0)
+        # reference keeps the full grid at ratio 0 (len_t=T, len_l=L)
+        pred_ref = tm.forward_decoder(lat_ref, ids_restore).numpy()
+
+    np.testing.assert_allclose(np.asarray(pred), pred_ref, rtol=3e-4, atol=3e-4)
