@@ -131,9 +131,11 @@ class PretrainConfig:
     seed: int = 42
     log_every: int = 50
     checkpoint_every_steps: int = 0  # 0 = only save at end (reference behavior)
-    # steps fused into one dispatch by lax.scan (0 = eager per-step path);
-    # the kept-grid shape is resampled once per chunk instead of per step
-    fused_steps: int = 50
+    # steps fused into one dispatch by lax.scan (0 = eager per-step path).
+    # Default 0: the eager two-program loop (gather jit + step jit) measures
+    # ~71k patches/s at bs=512 and ~336k at bs=2048 on the target chip after
+    # warmup; fusing buys nothing here and costs a much longer compile.
+    fused_steps: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

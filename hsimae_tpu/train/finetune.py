@@ -167,7 +167,16 @@ def dual_branch_finetune(
         un_pos = 0
         ep_loss = ep_rec = 0.0
         preds, gts = [], []
-        for chunk, valid in batch_indices(n_tr, bs_l, rng=ep_rng):
+        # shape-grouped schedule (see pretrain.py): iid batches, so grouping
+        # the per-batch-sampled mask shapes avoids per-step program switches
+        batches = list(batch_indices(n_tr, bs_l, rng=ep_rng))
+        shapes = [choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
+                  for _ in batches]
+        by_shape = {}
+        for b, s in zip(batches, shapes):
+            by_shape.setdefault(s, []).append(b)
+        for (len_t, len_l), group in by_shape.items():
+          for chunk, valid in group:
             x = source.gather_pixels(tr_idx[chunk])
             y = jnp.asarray(tr_y[chunk] * valid, jnp.int32)  # padded rows -> 0 (ignored)
             w = jnp.asarray(valid, jnp.float32)
@@ -183,7 +192,6 @@ def dual_branch_finetune(
             w_u = jnp.ones(bs_u, jnp.float32)
             if mesh is not None:
                 x, x_u = shard_batch(x, mesh), shard_batch(x_u, mesh)
-            len_t, len_l = choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
             rng = jax.random.fold_in(base_key, int(state.step))
             state, loss, loss_rec, logits = step_fn(
                 state, x, y, w, x_u, w_u, rng, len_t, len_l

@@ -1,0 +1,46 @@
+"""CLI surface tests: parsers expose the reference's defaults."""
+
+from hsimae_tpu.cli.pretrain import build_parser as pretrain_parser
+from hsimae_tpu.cli.finetune import build_parser as finetune_parser
+from hsimae_tpu.cli.evaluate import build_parser as evaluate_parser
+from hsimae_tpu.cli.benchmark import build_parser as benchmark_parser
+
+
+def test_pretrain_defaults_match_reference():
+    # `/root/reference/Model_Pretraining.py:119-134`
+    a = pretrain_parser().parse_args(["--synthetic"])
+    assert a.mask_ratio == 0.5
+    assert a.lr == 5e-3
+    assert a.wd == 5e-2
+    assert a.batch_size == 512
+    assert a.epochs == 100
+    assert a.seed == 42
+    assert a.model == "HSIMAE-B"
+    assert a.img_size == 9 and a.bands == 32
+    assert a.coarse_from == 14
+
+
+def test_finetune_defaults_match_reference():
+    # `/root/reference/Model_Finetuning.py:304-329`
+    a = finetune_parser().parse_args(["--synthetic"])
+    assert a.mask_ratio == 0.8
+    assert a.lamda == 10.0
+    assert a.batch_size == 32
+    assert a.epochs == 200
+    assert a.drop_path == 0.2
+    assert a.seed == 3407
+    assert a.samples_per_class == 10
+
+
+def test_evaluate_parser():
+    a = evaluate_parser().parse_args(
+        ["--synthetic", "--params", "x.msgpack", "--num-classes", "7"])
+    assert a.num_classes == 7
+    assert a.batch_size == 4096
+
+
+def test_benchmark_parser():
+    a = benchmark_parser().parse_args(["--synthetic", "--models", "SSFTT", "SSRN"])
+    assert a.models == ["SSFTT", "SSRN"]
+    assert a.lr_grid == [5e-3, 1e-3, 5e-4, 1e-4]
+    assert a.selection_seeds == 3 and a.test_seeds == 5

@@ -1,0 +1,38 @@
+"""Tests for hsimae_tpu.ops: fused block math and on-device metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hsimae_tpu.models.layers import Block
+from hsimae_tpu.ops.fused_block import BlockParams, fused_encoder_block, params_from_flax
+from hsimae_tpu.ops.metrics_ops import confusion_matrix_op, update_confusion
+from hsimae_tpu.utils.metrics import confusion_matrix
+
+
+def test_fused_block_matches_flax_block():
+    dim, heads, s, m = 64, 4, 9, 32
+    block = Block(dim, heads)
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, s, dim), jnp.float32)
+    params = block.init(jax.random.PRNGKey(1), x, False)["params"]
+    want = block.apply({"params": params}, x, False)
+    got = fused_encoder_block(x, params_from_flax(params), heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_confusion_matrix_op_matches_numpy():
+    rng = np.random.default_rng(0)
+    y, p = rng.integers(0, 5, 200), rng.integers(0, 5, 200)
+    got = np.asarray(confusion_matrix_op(jnp.asarray(y), jnp.asarray(p), 5))
+    want = confusion_matrix(y, p, 5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_update_confusion_accumulates_with_weights():
+    cm = jnp.zeros((3, 3))
+    y = jnp.asarray([0, 1, 2, 2])
+    p = jnp.asarray([0, 1, 1, 2])
+    w = jnp.asarray([1.0, 1.0, 0.0, 1.0])  # third row masked out
+    cm = update_confusion(cm, y, p, w)
+    want = np.zeros((3, 3)); want[0, 0] = 1; want[1, 1] = 1; want[2, 2] = 1
+    np.testing.assert_array_equal(np.asarray(cm), want)

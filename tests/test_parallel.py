@@ -1,0 +1,89 @@
+"""Tests for the mesh/sharding layer on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from hsimae_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["data"] == 8 and m.shape["model"] == 1
+    m = make_mesh(data=4, model=2)
+    assert m.shape["data"] == 4 and m.shape["model"] == 2
+    m = make_mesh(model=2)  # data=-1 -> 4
+    assert m.shape["data"] == 4
+    with pytest.raises(AssertionError):
+        make_mesh(model=3)  # 8 % 3 != 0
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    x = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("data")
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_replicate_params():
+    mesh = make_mesh()
+    tree = {"w": jnp.ones((3, 3)), "b": jnp.zeros(3)}
+    rep = replicate(tree, mesh)
+    assert rep["w"].sharding.spec == P()
+    assert len(rep["w"].addressable_shards) == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    """The jitted dual step produces the same loss sharded and unsharded."""
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.models.hsimae import build_dual_vit, init_model
+    from hsimae_tpu.train.finetune import TrainState, make_dual_step
+    from hsimae_tpu.train.optim import finetune_optimizer
+
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16, decoder_num_heads=2)
+    model = build_dual_vit(cfg, 4)
+    # host copy: the jitted step donates its state, so each run() needs
+    # fresh device buffers
+    params_host = jax.device_get(init_model(model, seed=0)["params"])
+    tx, _ = finetune_optimizer(1e-3, 1e-3, epochs=2, steps_per_epoch=2)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 9, 9, 32))
+    xu = jax.random.uniform(jax.random.PRNGKey(2), (8, 9, 9, 32))
+    y = jnp.asarray([1, 2, 3, 1, 2, 3, 1, 2])
+    w = jnp.ones(8, jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def run(shard):
+        params = jax.tree_util.tree_map(jnp.asarray, params_host)
+        st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        step = make_dual_step(model, lamda=10.0, flip_augment=False)
+        a, b, c, d = x, y, w, xu
+        if shard:
+            mesh = make_mesh()
+            st = replicate(st, mesh)
+            a, d = shard_batch(a, mesh), shard_batch(d, mesh)
+        st, loss, rec, logits = step(st, a, b, c, d, w, rng, 2, 4)
+        return float(loss), np.asarray(logits)
+
+    l1, g1 = run(False)
+    l2, g2 = run(True)
+    assert np.isclose(l1, l2, rtol=1e-5)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(9, 8) == 16
+    assert pad_to_multiple(16, 8) == 16
+    assert pad_to_multiple(1, 8) == 8
