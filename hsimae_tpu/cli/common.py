@@ -46,6 +46,10 @@ def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
     p.add_argument("--scene", default=None, help=".npy [h, w, bands] cube")
     if labeled:
         p.add_argument("--gt", default=None, help=".npy [h, w] labels; 0=background")
+    p.add_argument("--dataset", default=None,
+                   help="named dataset (Salinas/PaviaU/Houston2013/LongKou) "
+                        "under --data-root or $HSIMAE_DATA_ROOT")
+    p.add_argument("--data-root", default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use a generated scene (no dataset needed)")
     p.add_argument("--synthetic-size", type=int, default=64)
@@ -63,8 +67,12 @@ def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
             bands=args.synthetic_bands, n_classes=args.synthetic_classes,
             seed=getattr(args, "seed", 0),
         )
+    if getattr(args, "dataset", None):
+        from hsimae_tpu.data.datasets import load_dataset
+
+        return load_dataset(args.dataset, getattr(args, "data_root", None))
     if not args.scene or not getattr(args, "gt", None):
-        raise SystemExit("need --scene and --gt, or --synthetic")
+        raise SystemExit("need --scene and --gt, --dataset, or --synthetic")
     return np.load(args.scene), np.load(args.gt)
 
 

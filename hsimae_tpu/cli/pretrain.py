@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0, dest="ckpt_every")
     p.add_argument("--no-resume", dest="resume", action="store_false", default=True)
-    p.add_argument("--fused-steps", type=int, default=50)
+    p.add_argument("--fused-steps", type=int, default=0)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of one steady epoch")
     return p
 
 
@@ -74,7 +76,7 @@ def main(argv=None):
     )
     params, hist = run_pretraining(
         source, index.locs, model_config(args), cfg,
-        workdir=args.workdir, resume=args.resume,
+        workdir=args.workdir, resume=args.resume, profile_dir=args.profile,
     )
     print(f"[pretrain] done; final epoch loss {hist['epoch_loss'][-1]:.4f}")
     return params

@@ -7,6 +7,12 @@ from hsimae_tpu.data.sampling import (
     dual_scene_split,
 )
 from hsimae_tpu.data.synthetic import make_synthetic_scene
+from hsimae_tpu.data.datasets import (
+    REGISTRY as DATASET_REGISTRY,
+    get_data_path,
+    load_dataset,
+    load_pretrain_corpus,
+)
 from hsimae_tpu.data.pipeline import ScenePatchSource, MultiScenePatchSource, augment_flips
 
 __all__ = [

@@ -83,31 +83,53 @@ def _ln(x, scale, bias, eps=1e-5):
 
 
 def _block_math(x, p: BlockParams, num_heads: int, compute_dtype):
-    """The whole block on one [TM, S, D] tile (shared by kernel + fallback)."""
+    """The whole block on one [TM, S, D] tile (shared by kernel + fallback).
+
+    Every matmul accumulates in f32 (`preferred_element_type`) — the Mosaic
+    MXU requires 32-bit accumulators for bf16 operands.
+    """
     tm, s, d = x.shape
     hd = d // num_heads
 
+    def mm(a, w, b, out_dtype=compute_dtype):
+        out = jax.lax.dot_general(
+            a.reshape(-1, a.shape[-1]), w.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (out + b.astype(jnp.float32)).astype(out_dtype).reshape(
+            *a.shape[:-1], w.shape[-1])
+
     y = _ln(x, p.ln1_scale, p.ln1_bias).astype(compute_dtype)
-    q = (y @ p.wq.astype(compute_dtype)) + p.bq.astype(compute_dtype)
-    k = (y @ p.wk.astype(compute_dtype)) + p.bk.astype(compute_dtype)
-    v = (y @ p.wv.astype(compute_dtype)) + p.bv.astype(compute_dtype)
-    q = q.reshape(tm, s, num_heads, hd)
-    k = k.reshape(tm, s, num_heads, hd)
-    v = v.reshape(tm, s, num_heads, hd)
-    logits = jnp.einsum("mqhd,mkhd->mhqk", q, k,
-                        preferred_element_type=jnp.float32) * (hd**-0.5)
-    attn = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-    o = jnp.einsum("mhqk,mkhd->mqhd", attn, v,
-                   preferred_element_type=jnp.float32).astype(compute_dtype)
-    o = o.reshape(tm, s, d)
-    o = (o @ p.wo.astype(compute_dtype)) + p.bo.astype(compute_dtype)
+    q = mm(y, p.wq, p.bq)  # [tm, s, d]
+    k = mm(y, p.wk, p.bk)
+    v = mm(y, p.wv, p.bv)
+    # static per-head loop: Mosaic rejects both 2-batch-dim matmuls and the
+    # [tm, s, h, hd] head transpose; last-axis slices avoid both
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (hd**-0.5)  # [tm, s, s]
+        attn = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+        outs.append(jax.lax.dot_general(
+            attn, v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype))  # [tm, s, hd]
+    o = jnp.concatenate(outs, axis=-1)
+    o = mm(o, p.wo, p.bo)
     x = x + o.astype(x.dtype)
 
     y2 = _ln(x, p.ln2_scale, p.ln2_bias).astype(compute_dtype)
-    h1 = (y2 @ p.w1.astype(compute_dtype)) + p.b1.astype(compute_dtype)
-    h3 = (y2 @ p.w3.astype(compute_dtype)) + p.b3.astype(compute_dtype)
-    h = jax.nn.silu(h1) * h3
-    out = (h @ p.w2.astype(compute_dtype)) + p.b2.astype(compute_dtype)
+    # silu gate in f32: Mosaic rejects weak-typed scalar broadcasts into bf16
+    h1 = mm(y2, p.w1, p.b1, out_dtype=jnp.float32)
+    h3 = mm(y2, p.w3, p.b3, out_dtype=jnp.float32)
+    h = (jax.nn.silu(h1) * h3).astype(compute_dtype)
+    out = mm(h, p.w2, p.b2)
     return x + out.astype(x.dtype)
 
 
@@ -127,9 +149,28 @@ def fused_encoder_block(
 ) -> jax.Array:
     """Apply one transformer block to [M, S, D] sequences."""
     m, s, d = x.shape
-    if not (use_pallas and FUSED_BLOCK_AVAILABLE and
+    # The current TPU runtime's remote compile helper crashes on GRIDDED
+    # pallas_calls of this kernel (any BlockSpec with a grid; whole-array
+    # single-program calls compile and validate fine — verified on hardware).
+    # Until that infra bug clears, pallas runs only when one program covers
+    # the whole batch; larger batches use the (already near-peak) XLA path.
+    if not (use_pallas and FUSED_BLOCK_AVAILABLE and m <= tile_m and
             jax.devices()[0].platform == "tpu"):
         return _block_math(x, params, num_heads, x.dtype)
+
+    # Mosaic requires 128-aligned lane dims for f32 intermediates: zero-pad
+    # the SwiGLU hidden axis (silu(0)*0 = 0 and w2's padded rows are zero, so
+    # the math is exact).
+    hid = params.w1.shape[-1]
+    pad = (-hid) % 128
+    if pad:
+        params = params._replace(
+            w1=jnp.pad(params.w1, ((0, 0), (0, pad))),
+            b1=jnp.pad(params.b1, (0, pad)),
+            w3=jnp.pad(params.w3, ((0, 0), (0, pad))),
+            b3=jnp.pad(params.b3, (0, pad)),
+            w2=jnp.pad(params.w2, ((0, pad), (0, 0))),
+        )
 
     tm = min(tile_m, m)
     grid = (pl.cdiv(m, tm),)

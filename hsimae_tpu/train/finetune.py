@@ -229,6 +229,13 @@ def dual_branch_finetune(
     params = jax.device_get(state.params)
     if workdir:
         save_params(f"{workdir}/finetuned.msgpack", params)
+        # reference artifacts: loss history + twin-axis curve PNG
+        # (`Model_Finetuning.py:236-239`)
+        np.save(f"{workdir}/train_log.npy",
+                np.array([hist["loss"], hist["val_oa"]], dtype=object))
+        from hsimae_tpu.utils.logger import plot_history
+
+        plot_history(f"{workdir}/finetune_curves.png", hist)
     return FinetuneResult(
         params=params, val_metrics=best, history=hist,
         model_cfg=model_cfg.replace(num_classes=n_class), num_classes=n_class,

@@ -151,6 +151,7 @@ def run_pretraining(
     mesh=None,
     resume: bool = True,
     logger: Optional[MetricLogger] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Epoch loop over the cut index. Returns (params, history dict)."""
     model = build_hsimae(model_cfg)
@@ -194,6 +195,10 @@ def run_pretraining(
         step_fn = make_pretrain_step(model)
 
     for epoch in range(start_epoch, cfg.epochs):
+        # profile the SECOND epoch: the first contains the compiles
+        # (the reference has no tracing at all; SURVEY.md §5)
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.start_trace(profile_dir)
         # per-epoch reseeded shuffle, the reference's `stable(loader, 42+epoch)`
         ep_rng = np.random.default_rng(cfg.seed + epoch)
         shape_rng = _pyrandom.Random(cfg.seed * 1000 + epoch)
@@ -242,6 +247,8 @@ def run_pretraining(
                                    lr=float(sched(int(state.step) - 1)))
                     ep_loss += float(loss)  # device sync per step, like .item()
         dt = time.perf_counter() - t0
+        if profile_dir and epoch == start_epoch + 1:
+            jax.profiler.stop_trace()
         mean_loss = ep_loss / max(ep_steps, 1)
         epoch_losses.append(mean_loss)
         pps = ep_steps * bs / dt

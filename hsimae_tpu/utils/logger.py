@@ -84,3 +84,31 @@ class MetricLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+
+
+def plot_history(path: str, hist: Dict[str, List[float]]) -> None:
+    """Twin-axis loss / accuracy curves from a history dict — the reference's
+    live matplotlib figure (`Model_Finetuning.py:132-137,223-233`), rendered
+    once at the end. Keys containing 'loss' go on the left axis, the rest on
+    the right."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax1 = plt.subplots()
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("loss")
+    ax2 = ax1.twinx()
+    ax2.set_ylabel("Average Accuracy")
+    lns = []
+    styles = iter(["b", "g", "c", "y", "r", "m", "k"])
+    for key, ys in hist.items():
+        if not ys:
+            continue
+        ax = ax1 if "loss" in key else ax2
+        lns += ax.plot(ys, next(styles, "k"), lw=1, label=key)
+    if lns:
+        ax1.legend(lns, [l.get_label() for l in lns], loc="center right")
+    fig.savefig(path)
+    plt.close(fig)
