@@ -7,6 +7,7 @@ from hsimae_tpu.parallel.mesh import (
     pad_to_multiple,
     local_mesh_info,
 )
+from hsimae_tpu.parallel.tp import shard_params_tp, tp_spec
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,6 @@ __all__ = [
     "replicate",
     "pad_to_multiple",
     "local_mesh_info",
+    "shard_params_tp",
+    "tp_spec",
 ]

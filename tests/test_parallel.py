@@ -87,3 +87,54 @@ def test_pad_to_multiple():
     assert pad_to_multiple(9, 8) == 16
     assert pad_to_multiple(16, 8) == 16
     assert pad_to_multiple(1, 8) == 8
+
+
+def test_tp_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from hsimae_tpu.parallel.tp import tp_spec
+
+    assert tp_spec(("blocks_1_0", "attn", "q", "kernel"), 2) == P(None, "model")
+    assert tp_spec(("blocks_1_0", "attn", "proj", "kernel"), 2) == P("model", None)
+    assert tp_spec(("blocks_1_0", "mlp", "w2", "kernel"), 2) == P("model", None)
+    assert tp_spec(("blocks_1_0", "mlp", "w1", "bias"), 1) == P("model")
+    assert tp_spec(("patch_embed", "proj", "kernel"), 2) == P(None, None)
+    assert tp_spec(("norm", "scale"), 1) == P(None)
+
+
+def test_tp_sharded_step_matches_replicated():
+    """Megatron-style TP shardings must not change the math (GSPMD inserts
+    the all-reduces)."""
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.models.hsimae import build_dual_vit, init_model
+    from hsimae_tpu.parallel.tp import shard_params_tp
+    from hsimae_tpu.train.finetune import TrainState, make_dual_step
+    from hsimae_tpu.train.optim import finetune_optimizer
+
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16, decoder_num_heads=2)
+    model = build_dual_vit(cfg, 4)
+    params_host = jax.device_get(init_model(model, seed=0)["params"])
+    tx, _ = finetune_optimizer(1e-3, 1e-3, epochs=2, steps_per_epoch=2)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 9, 9, 32))
+    xu = jax.random.uniform(jax.random.PRNGKey(2), (8, 9, 9, 32))
+    y = jnp.asarray([1, 2, 3, 1, 2, 3, 1, 2])
+    w = jnp.ones(8, jnp.float32)
+
+    def run(tp):
+        params = jax.tree_util.tree_map(jnp.asarray, params_host)
+        a, d = x, xu
+        if tp:
+            mesh = make_mesh(data=4, model=2)
+            params = shard_params_tp(params, mesh)
+            a, d = shard_batch(a, mesh), shard_batch(d, mesh)
+        st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        step = make_dual_step(model, lamda=10.0, flip_augment=False)
+        st, loss, rec, logits = step(st, a, y, w, d, w, jax.random.PRNGKey(3), 2, 4)
+        return float(loss), np.asarray(logits)
+
+    l1, g1 = run(False)
+    l2, g2 = run(True)
+    assert np.isclose(l1, l2, rtol=1e-5)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
