@@ -36,9 +36,11 @@ from hsimae_tpu.train.optim import timm_cosine_schedule
 from hsimae_tpu.utils.metrics import Metrics, classification_metrics
 
 
-def preprocess_scene(scene: np.ndarray, spec: BaselineSpec) -> np.ndarray:
+def preprocess_scene(scene: np.ndarray, spec: BaselineSpec,
+                     resize=None) -> np.ndarray:
     """data_trans (`Compared_Experiment.py:77-105`): optional global PCA,
-    min-max norm to [norm], optional per-band centering."""
+    min-max norm to [norm], optional per-band centering, optional zoom
+    resize."""
     scene = np.asarray(scene, np.float64)
     if spec.pca_nc is not None:
         from hsimae_tpu.data.gwpca import pca_fit_transform
@@ -52,6 +54,10 @@ def preprocess_scene(scene: np.ndarray, spec: BaselineSpec) -> np.ndarray:
         scene = scene * (hi - lo) + lo
     if spec.center:
         scene = scene - scene.mean(axis=(0, 1), keepdims=True)
+    if resize is not None:
+        from scipy import ndimage
+
+        scene = ndimage.zoom(scene, np.asarray(resize) / np.asarray(scene.shape))
     return np.ascontiguousarray(scene, np.float32)
 
 

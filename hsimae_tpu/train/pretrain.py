@@ -152,6 +152,7 @@ def run_pretraining(
     resume: bool = True,
     logger: Optional[MetricLogger] = None,
     profile_dir: Optional[str] = None,
+    stop_after_epochs: Optional[int] = None,
 ):
     """Epoch loop over the cut index. Returns (params, history dict)."""
     model = build_hsimae(model_cfg)
@@ -194,7 +195,11 @@ def run_pretraining(
     else:
         step_fn = make_pretrain_step(model)
 
-    for epoch in range(start_epoch, cfg.epochs):
+    end_epoch = cfg.epochs
+    if stop_after_epochs is not None:  # simulate preemption after N epochs
+        end_epoch = min(end_epoch, start_epoch + stop_after_epochs)
+
+    for epoch in range(start_epoch, end_epoch):
         # profile the SECOND epoch: the first contains the compiles
         # (the reference has no tracing at all; SURVEY.md §5)
         if profile_dir and epoch == start_epoch + 1:
