@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--protocol", action="store_true",
                    help="run the full lr-grid x multi-seed protocol")
+    p.add_argument("--lr-grid", nargs="+", type=float,
+                   default=list(ProtocolConfig().lr_grid))
+    p.add_argument("--selection-seeds", type=int,
+                   default=ProtocolConfig().selection_seeds)
+    p.add_argument("--test-seeds", type=int, default=ProtocolConfig().test_seeds)
     p.add_argument("--workdir", default=None)
     return p
 
@@ -67,9 +72,14 @@ def main(argv=None):
     pretrained = load_any_checkpoint(args.pretrained)
 
     if args.protocol:
+        proto = ProtocolConfig(
+            lr_grid=tuple(args.lr_grid),
+            selection_seeds=args.selection_seeds,
+            test_seeds=args.test_seeds,
+        )
         res = run_protocol(
             scene, gt, mcfg, ft,
-            ProtocolConfig(), EvalConfig(),
+            proto, EvalConfig(),
             samples_per_class=args.samples_per_class,
             pretrained=pretrained, gwpca=args.gwpca,
         )

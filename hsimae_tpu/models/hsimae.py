@@ -327,19 +327,32 @@ def build_hsi_vit(cfg: ModelConfig, num_classes: int) -> HSIMAE:
     return HSIMAE(cfg.replace(num_classes=num_classes, drop_path=0.0), with_decoder=False)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_init_fn(model: HSIMAE, batch: int):
+    """One JITTED init per model config: multi-seed protocol loops re-init
+    dozens of times, and eager init dispatches hundreds of tiny ops (slow on
+    remote backends). Seeds are runtime args, so one compile serves all."""
+    c = model.cfg
+
+    def init(k0, k1, k2):
+        rngs = {"params": k0, "mask": k1, "droppath": k2}
+        imgs = jnp.zeros((batch, c.img_size, c.img_size, c.bands), jnp.float32)
+        if c.num_classes > 0 and model.with_decoder:
+            return model.init(rngs, imgs, imgs, 2, max(2, c.l_size // 2), False,
+                              method=HSIMAE.forward_dual)
+        if c.num_classes > 0:
+            return model.init(rngs, imgs, False, method=HSIMAE.classify)
+        return model.init(rngs, imgs, 2, max(2, c.l_size // 2), False,
+                          method=HSIMAE.forward_pretrain)
+
+    return jax.jit(init)
+
+
 def init_model(model: HSIMAE, seed: int = 0, batch: int = 2):
     """Initialize parameters, touching every submodule."""
-    c = model.cfg
-    rngs = {
-        "params": jax.random.key(seed),
-        "mask": jax.random.key(seed + 1),
-        "droppath": jax.random.key(seed + 2),
-    }
-    imgs = jnp.zeros((batch, c.img_size, c.img_size, c.bands), jnp.float32)
-    if c.num_classes > 0 and model.with_decoder:
-        return model.init(rngs, imgs, imgs, 2, max(2, c.l_size // 2), False,
-                          method=HSIMAE.forward_dual)
-    if c.num_classes > 0:
-        return model.init(rngs, imgs, False, method=HSIMAE.classify)
-    return model.init(rngs, imgs, 2, max(2, c.l_size // 2), False,
-                      method=HSIMAE.forward_pretrain)
+    return _cached_init_fn(model, batch)(
+        jax.random.key(seed), jax.random.key(seed + 1), jax.random.key(seed + 2)
+    )

@@ -38,6 +38,18 @@ class SceneEvalResult:
     logits_argmax_all: np.ndarray  # [h, w] raw argmax incl. background logit
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_classify(model):
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x, False, method=HSIMAE.classify)
+
+    return fwd
+
+
 def classify_scene(
     scene: np.ndarray,
     params: dict,
@@ -49,10 +61,7 @@ def classify_scene(
     model = build_hsi_vit(model_cfg, num_classes)
     tgt = init_model(model, seed=0)["params"]
     params, _, _ = partial_restore(tgt, params, verbose=False)
-
-    @jax.jit
-    def fwd(p, x):
-        return model.apply({"params": p}, x, False, method=HSIMAE.classify)
+    fwd = _cached_classify(model)
 
     source = ScenePatchSource(scene, model_cfg.img_size)
     h, w = scene.shape[:2]

@@ -58,6 +58,22 @@ def cross_entropy_ignore0(logits: jax.Array, labels: jax.Array,
     return -(ll * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_dual_step(model: HSIMAE, lamda: float, flip_augment: bool):
+    """flax modules are frozen dataclasses (hashable), so protocol loops that
+    rebuild the same model config reuse one compiled step instead of paying
+    the (very expensive on this backend) recompile per run."""
+    return make_dual_step(model, lamda, flip_augment)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_eval_step(model: HSIMAE):
+    return make_eval_step(model)
+
+
 def make_dual_step(model: HSIMAE, lamda: float, flip_augment: bool = True):
     """``step(state, x, y, w, x_u, w_u, rng, len_t, len_l) ->
     (state, loss, loss_rec, logits)``; w/w_u are validity weights for padded
@@ -150,8 +166,8 @@ def dual_branch_finetune(
     if mesh is not None:
         state = replicate(state, mesh)
 
-    step_fn = make_dual_step(model, cfg.lamda)
-    eval_fn = make_eval_step(model)
+    step_fn = _cached_dual_step(model, cfg.lamda, True)
+    eval_fn = _cached_eval_step(model)
     base_key = jax.random.PRNGKey(seed)
     logger = logger or MetricLogger(workdir)
     t_size, l_size = model_cfg.t_size, model_cfg.l_size

@@ -87,6 +87,24 @@ def test_eval_logits_match_reference():
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
 
 
+def test_grid_shape_candidates_match_reference():
+    """choose_grid_shape's candidate set == the argmin set of the reference's
+    get_dim_patches (`Models.py:484-493`) for every mask ratio used."""
+    import itertools
+
+    from hsimae_tpu.models.masking import grid_shape_candidates
+
+    for t, l in [(4, 9), (4, 4), (8, 9)]:
+        for ratio in (0.5, 0.75, 0.8, 0.9):
+            cands = set(grid_shape_candidates(t, l, ratio))
+            # reference argmin set, recomputed with numpy semantics
+            allp = np.array(list(itertools.product(range(2, t + 1),
+                                                   range(2, l + 1))))
+            diffs = np.abs((1 - ratio) * t * l - allp[:, 0] * allp[:, 1])
+            ref = {tuple(x) for x in allp[diffs == diffs.min()]}
+            assert cands == ref, (t, l, ratio)
+
+
 def test_patchify_matches_reference():
     import Models as ref_models
     from hsimae_tpu.models.hsimae import patchify
