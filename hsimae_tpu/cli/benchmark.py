@@ -78,6 +78,9 @@ def run_svm(scene, gt, args):
 
 
 def main(argv=None):
+    from hsimae_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     seed_everything(args.seed)
     scene, gt = _load(args)

@@ -14,7 +14,19 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+import os
+
 from hsimae_tpu.config import ModelConfig, PRESETS, preset
+
+
+def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
+    """Persistent compile cache: on this TPU runtime a train-step compile
+    costs 60-500s, so every CLI enables the cache up front."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def add_model_args(p: argparse.ArgumentParser) -> None:

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from hsimae_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     scene, gt = load_labeled_scene(args)
     mcfg = model_config(args)
