@@ -52,6 +52,11 @@ class ModelConfig:
     trunc_init: bool = True
     drop_path: float = 0.0
     num_classes: int = 0  # 0: pretraining model (no cls head)
+    # classification head pooling (`Models.py:964-973`): 'agg' groups the
+    # latent by spatial position and concats spectral groups before the mean
+    # (cls_head in = embed_dim * T); 'gap' is a plain mean over all tokens
+    # (cls_head in = embed_dim)
+    head_mode: str = "agg"
 
     # numerics policy: params/optimizer in f32, activations in `compute_dtype`
     compute_dtype: jnp.dtype = jnp.float32

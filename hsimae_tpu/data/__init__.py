@@ -30,4 +30,8 @@ __all__ = [
     "ScenePatchSource",
     "MultiScenePatchSource",
     "augment_flips",
+    "DATASET_REGISTRY",
+    "get_data_path",
+    "load_dataset",
+    "load_pretrain_corpus",
 ]

@@ -237,14 +237,19 @@ class HSIMAE(nn.Module):
     # ------------------------------- heads --------------------------------
 
     def classify(self, imgs: jax.Array, train: bool = False) -> jax.Array:
-        """AGG head (`DualViT.head`, `Models.py:964-973`): group latent by
-        spatial position, concat spectral groups, mean over positions."""
+        """Classification head (`DualViT.head`, `Models.py:964-973`).
+        'agg': group latent by spatial position, concat spectral groups, mean
+        over positions; 'gap': plain mean over all tokens."""
         c = self.cfg
         latent = self.encode(imgs, train)
         n = latent.shape[0]
-        x = latent.reshape(n, c.t_size, c.l_size, c.embed_dim)
-        x = x.transpose(0, 2, 1, 3).reshape(n, c.l_size, c.t_size * c.embed_dim)
-        return self.cls_head(x.mean(axis=1).astype(jnp.float32))
+        if c.head_mode == "gap":
+            x = latent.reshape(n, c.num_patches, c.embed_dim).mean(axis=1)
+        else:
+            x = latent.reshape(n, c.t_size, c.l_size, c.embed_dim)
+            x = x.transpose(0, 2, 1, 3).reshape(n, c.l_size, c.t_size * c.embed_dim)
+            x = x.mean(axis=1)
+        return self.cls_head(x.astype(jnp.float32))
 
     # ----------------------------- forwards -------------------------------
 
