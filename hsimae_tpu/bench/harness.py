@@ -33,6 +33,7 @@ from hsimae_tpu.data.pipeline import ScenePatchSource, augment_flips, batch_indi
 from hsimae_tpu.data.sampling import sample_per_class, train_val_split
 from hsimae_tpu.train.finetune import cross_entropy_ignore0
 from hsimae_tpu.train.optim import timm_cosine_schedule
+from hsimae_tpu.utils.early_stop import EarlyStopping
 from hsimae_tpu.utils.metrics import Metrics, classification_metrics
 
 
@@ -163,8 +164,10 @@ def train_baseline(
 
     key = jax.random.PRNGKey(seed)
     hist = {"loss": [], "val_mean3": []}
-    best_score, best = -1.0, None
-    patience, bad = 30, 0
+    # EarlyStopping(30) with best-state retention, as the reference harness
+    # (`Compared_Experiment.py:158,248-251`)
+    stopper = EarlyStopping(patience=30)
+    vm = None
 
     for epoch in range(spec.epochs):
         ep_rng = np.random.default_rng(seed + 7000 + epoch)
@@ -194,17 +197,13 @@ def train_baseline(
             print(f"[{spec.name}] epoch {epoch}: loss {hist['loss'][-1]:.4f} "
                   f"val mean3 {vm.mean3:.4f}")
 
-        if vm.mean3 > best_score:
-            best_score, best = vm.mean3, (jax.device_get(params),
-                                          jax.device_get(batch_stats), vm)
-            bad = 0
-        elif spec.early_stop:
-            bad += 1
-            if bad >= patience:
-                break
+        snapshot = ((jax.device_get(params), jax.device_get(batch_stats), vm)
+                    if spec.early_stop else None)
+        if stopper(vm.mean3, value=snapshot) and spec.early_stop:
+            break
 
-    if spec.early_stop and best is not None:
-        params, batch_stats, vm = best
+    if spec.early_stop and stopper.best_value is not None:
+        params, batch_stats, vm = stopper.best_value
     variables = {"params": params, "batch_stats": batch_stats} if has_bn else {
         "params": params}
     return BaselineRun(variables=variables, val_metrics=vm, history=hist), test_gt, scene_p

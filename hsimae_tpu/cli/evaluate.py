@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--out", default=None, help="dir for colormap PNGs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--samples-per-class", type=int, default=None,
+                   help="reproduce the training split (same seed) and zero "
+                        "its pixels from the gt so metrics are TEST metrics, "
+                        "as the reference's test_model receives test_gt")
+    p.add_argument("--test-gt", default=None,
+                   help=".npy test gt (train pixels already zeroed)")
     return p
 
 
@@ -48,6 +54,17 @@ def main(argv=None):
     mcfg = model_config(args)
     if args.gwpca:
         scene = apply_gwpca(scene, nc=mcfg.bands)
+    if args.test_gt:
+        gt = np.load(args.test_gt)
+    elif args.samples_per_class:
+        # reproduce the few-shot split deterministically and score only on
+        # the held-out pixels (the reference's test_gt semantics)
+        from hsimae_tpu.data.sampling import sample_per_class
+
+        _, test_gt_flat = sample_per_class(
+            gt.reshape(-1), num=args.samples_per_class,
+            rng=np.random.default_rng(args.seed))
+        gt = test_gt_flat.reshape(gt.shape)
     params = load_any_checkpoint(args.params)
     res = evaluate_scene(
         scene.astype(np.float32), gt, params, mcfg, args.num_classes,

@@ -116,8 +116,11 @@ class GSCViT(nn.Module):
         x = nn.relu(_bn(train, "sc_bn")(x))
         x = nn.relu(_bn(train, "bn_1")(x))
 
-        pairs = list(zip((256,) + tuple(self.dims[:-1]), self.dims))
-        n_stages = len(self.dims)
+        # reference stage count: zip(dims[:-1], dims[1:]) — for the published
+        # dims=(256, 128, 64) that is TWO stages (256->128, 128->64); the
+        # stem's 256 channels feed the first stage directly (`GSCViT.py:264`)
+        pairs = list(zip(self.dims[:-1], self.dims[1:]))
+        n_stages = len(pairs)
         for i, (din, dout) in enumerate(pairs):
             x = GSC(dout, self.padding[i], self.num_groups[i], name=f"gsc_{i}")(x, train)
             y = x

@@ -58,6 +58,19 @@ def grid_shape_candidates(t_size: int, l_size: int, mask_ratio: float):
     return [c for c, d in zip(cands, diffs) if d == best]
 
 
+def group_by_shape(items, t_size: int, l_size: int, mask_ratio: float, rng):
+    """Sample a kept-grid shape per item (reference semantics: one draw per
+    batch, `Models.py:484-493`) and GROUP items by shape. Batches are iid, so
+    running groups contiguously is statistically identical while avoiding the
+    per-switch cost of alternating between compiled (len_t, len_l)
+    specializations. Returns ``{(len_t, len_l): [items...]}``."""
+    by = {}
+    for it in items:
+        s = choose_grid_shape(t_size, l_size, mask_ratio, rng)
+        by.setdefault(s, []).append(it)
+    return by
+
+
 class GridMask(NamedTuple):
     ids_keep: jax.Array  # [N, len_t * len_l] int32, row-major over the kept grid
     mask: jax.Array  # [N, T * L] f32: 0 = keep, 1 = masked

@@ -33,9 +33,9 @@ from hsimae_tpu.utils.metrics import Metrics, classification_metrics
 
 @dataclasses.dataclass
 class SceneEvalResult:
-    pred_map: np.ndarray  # [h, w] predicted labels (1-based; never 0)
+    pred_map: np.ndarray  # [h, w] predicted labels (1-based; never 0,
+    # background logit excluded at argmax per `Model_Finetuning.py:277-280`)
     metrics: Metrics
-    logits_argmax_all: np.ndarray  # [h, w] raw argmax incl. background logit
 
 
 import functools
@@ -93,4 +93,4 @@ def evaluate_scene(
         save_colormap(os.path.join(save_dir, f"{name}_pred.png"), pred_map)
         masked = np.where(test_gt != 0, pred_map, 0)
         save_colormap(os.path.join(save_dir, f"{name}_pred_masked.png"), masked)
-    return SceneEvalResult(pred_map=pred_map, metrics=m, logits_argmax_all=pred_map)
+    return SceneEvalResult(pred_map=pred_map, metrics=m)

@@ -35,7 +35,7 @@ from hsimae_tpu.checkpoints.io import partial_restore, save_params
 from hsimae_tpu.data.pipeline import ScenePatchSource, augment_flips, batch_indices
 from hsimae_tpu.data.sampling import DualSceneSplit, train_val_split
 from hsimae_tpu.models.hsimae import HSIMAE, build_dual_vit, init_model
-from hsimae_tpu.models.masking import choose_grid_shape
+from hsimae_tpu.models.masking import choose_grid_shape, group_by_shape
 from hsimae_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 from hsimae_tpu.train.optim import finetune_optimizer
 from hsimae_tpu.utils.logger import MetricLogger
@@ -149,15 +149,16 @@ def dual_branch_finetune(
 
     source = ScenePatchSource(split.scene, model_cfg.img_size)
     n_tr, n_un = len(tr_idx), len(split.unlabeled_starts)
-    steps_per_epoch = int(np.ceil(n_tr / cfg.batch_size))
-    bs_l = min(cfg.batch_size, n_tr)
-    bs_u = max(1, int(np.ceil(n_un / steps_per_epoch) / 2))
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
     dsize = int(mesh.shape["data"]) if mesh is not None else 1
-    bs_l = pad_to_multiple(bs_l, dsize)
-    bs_u = pad_to_multiple(bs_u, dsize)
+    bs_l = pad_to_multiple(min(cfg.batch_size, n_tr), dsize)
+    # schedule & averaging must count the ACTUAL batches run (bs_l after
+    # mesh padding), not the nominal cfg.batch_size
+    steps_per_epoch = int(np.ceil(n_tr / bs_l))
+    bs_u = pad_to_multiple(
+        max(1, int(np.ceil(n_un / steps_per_epoch) / 2)), dsize)
 
     tx, sched = finetune_optimizer(
         cfg.lr, cfg.weight_decay, cfg.epochs, steps_per_epoch, cfg.warmup_frac
@@ -183,14 +184,9 @@ def dual_branch_finetune(
         un_pos = 0
         ep_loss = ep_rec = 0.0
         preds, gts = [], []
-        # shape-grouped schedule (see pretrain.py): iid batches, so grouping
-        # the per-batch-sampled mask shapes avoids per-step program switches
         batches = list(batch_indices(n_tr, bs_l, rng=ep_rng))
-        shapes = [choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
-                  for _ in batches]
-        by_shape = {}
-        for b, s in zip(batches, shapes):
-            by_shape.setdefault(s, []).append(b)
+        by_shape = group_by_shape(batches, t_size, l_size,
+                                  cfg.mask_ratio, shape_rng)
         for (len_t, len_l), group in by_shape.items():
           for chunk, valid in group:
             x = source.gather_pixels(tr_idx[chunk])

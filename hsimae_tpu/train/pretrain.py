@@ -41,7 +41,7 @@ from hsimae_tpu.data.pipeline import (
     gather_multiscene,
 )
 from hsimae_tpu.models.hsimae import HSIMAE, build_hsimae, init_model
-from hsimae_tpu.models.masking import choose_grid_shape
+from hsimae_tpu.models.masking import choose_grid_shape, group_by_shape
 from hsimae_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 from hsimae_tpu.train.optim import pretrain_optimizer
 from hsimae_tpu.utils.logger import MetricLogger
@@ -166,6 +166,11 @@ def run_pretraining(
 
     n = len(locs)
     steps_per_epoch = int(np.ceil(n / bs))
+    if cfg.fused_steps > 0:
+        # the fused path pads each epoch (wrapping) to whole [K, B] chunks,
+        # so the schedule and resume math must count the padded steps
+        k = min(cfg.fused_steps, steps_per_epoch)
+        steps_per_epoch = int(np.ceil(steps_per_epoch / k)) * k
     total_steps = steps_per_epoch * cfg.epochs
     tx, sched = pretrain_optimizer(
         cfg.lr, cfg.weight_decay, total_steps,
@@ -211,9 +216,9 @@ def run_pretraining(
         t0 = time.perf_counter()
         if fused:
             # pad the shuffled epoch (wrapping) to whole [K, B] chunks
-            k = min(cfg.fused_steps, steps_per_epoch)
+            k = min(cfg.fused_steps, int(np.ceil(n / bs)))
             order = ep_rng.permutation(n)
-            n_chunks = int(np.ceil(steps_per_epoch / k))
+            n_chunks = steps_per_epoch // k
             order = np.resize(order, n_chunks * k * bs)
             for ci in range(n_chunks):
                 sel = order[ci * k * bs : (ci + 1) * k * bs].reshape(k, bs)
@@ -227,18 +232,9 @@ def run_pretraining(
                     logger.log(step=int(state.step), loss=float(loss),
                                lr=float(sched(int(state.step) - 1)))
         else:
-            # Shape-grouped schedule: sample the kept-grid shape per batch
-            # (reference semantics, `Models.py:484-493`) but RUN batches
-            # grouped by shape — batches are iid, so grouping is
-            # statistically identical while avoiding the ~170ms program
-            # switch the backend charges when alternating between the
-            # compiled (len_t, len_l) specializations.
             batches = list(batch_indices(n, bs, rng=ep_rng))
-            shapes = [choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
-                      for _ in batches]
-            by_shape = {}
-            for b, s in zip(batches, shapes):
-                by_shape.setdefault(s, []).append(b)
+            by_shape = group_by_shape(batches, t_size, l_size,
+                                      cfg.mask_ratio, shape_rng)
             for (len_t, len_l), group in by_shape.items():
                 for chunk, _valid in group:
                     imgs = source.gather(locs[chunk])

@@ -42,6 +42,9 @@ def confusion_matrix(y_true: np.ndarray, y_pred: np.ndarray, n_classes: int) -> 
 
 
 def metrics_from_confusion(cm: np.ndarray) -> Metrics:
+    """``per_class`` is ALIGNED by class index (length n_classes); classes
+    absent from both y_true and y_pred get recall 0 but are excluded from AA
+    (sklearn averages recall over the union of observed labels)."""
     cm = np.asarray(cm, dtype=np.float64)
     total = cm.sum()
     diag = np.diag(cm)
@@ -58,7 +61,8 @@ def metrics_from_confusion(cm: np.ndarray) -> Metrics:
 
     pe = (row * col).sum() / max(total * total, 1.0)
     kappa = (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
-    return Metrics(oa=float(oa), aa=float(aa), kappa=float(kappa), per_class=per_class[present])
+    return Metrics(oa=float(oa), aa=float(aa), kappa=float(kappa),
+                   per_class=per_class)
 
 
 def classification_metrics(y_true, y_pred, ignore_zero: bool = True) -> Metrics:
@@ -66,7 +70,9 @@ def classification_metrics(y_true, y_pred, ignore_zero: bool = True) -> Metrics:
 
     The reference filters to ``gt != 0`` pixels and shifts labels by -1 before
     scoring (`/root/reference/Model_Finetuning.py:172-179`). ``y_true``/
-    ``y_pred`` here carry raw (0-based-with-background) labels.
+    ``y_pred`` here carry raw (0-based-with-background) labels. A background
+    PREDICTION (shifted to -1) is sklearn's extra label: always wrong, its
+    zero-recall included in AA — mapped here to a trailing bucket column.
     """
     y_true = np.asarray(y_true).reshape(-1)
     y_pred = np.asarray(y_pred).reshape(-1)
@@ -74,6 +80,11 @@ def classification_metrics(y_true, y_pred, ignore_zero: bool = True) -> Metrics:
         keep = y_true != 0
         y_true = y_true[keep] - 1
         y_pred = y_pred[keep] - 1
-        y_pred = np.maximum(y_pred, 0)  # guard: preds of 0 after shift
     n = int(max(y_true.max(initial=0), y_pred.max(initial=0))) + 1
+    invalid = y_pred < 0
+    if invalid.any():
+        y_pred = np.where(invalid, n, y_pred)  # extra always-wrong bucket
+        m = metrics_from_confusion(confusion_matrix(y_true, y_pred, n + 1))
+        return Metrics(oa=m.oa, aa=m.aa, kappa=m.kappa,
+                       per_class=m.per_class[:n])
     return metrics_from_confusion(confusion_matrix(y_true, y_pred, n))

@@ -201,3 +201,25 @@ def test_augment_flips_are_axis_reversals():
     # p=0: identity
     y = np.asarray(augment_flips(x, jax.random.key(0), p=0.0))
     np.testing.assert_allclose(y, x)
+
+
+def test_metrics_match_sklearn_with_background_predictions():
+    """Background (class-0) predictions must count as wrong, exactly as
+    sklearn treats the shifted -1 label (code-review finding: the old
+    np.maximum clamp silently converted them into class-1 hits)."""
+    import numpy as np
+    from sklearn import metrics as sk
+
+    from hsimae_tpu.utils.metrics import classification_metrics
+
+    rng = np.random.default_rng(0)
+    y_true = rng.integers(0, 6, 500)
+    y_pred = rng.integers(0, 6, 500)  # includes background predictions
+    keep = y_true != 0
+    yt, yp = y_true[keep] - 1, y_pred[keep] - 1
+    m = classification_metrics(y_true, y_pred)
+    assert np.isclose(m.oa, sk.accuracy_score(yt, yp))
+    assert np.isclose(m.aa, np.mean(sk.recall_score(yt, yp, average=None,
+                                                    zero_division=0)))
+    assert np.isclose(m.kappa, sk.cohen_kappa_score(yt, yp))
+    assert len(m.per_class) == 5  # aligned by class id, bucket dropped
