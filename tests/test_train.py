@@ -186,3 +186,25 @@ def test_padded_rows_do_not_change_loss():
     # rec loss differs only because mask sampling sees a bigger batch; check
     # weights zero out the padded contribution exactly when mask is shared:
     assert np.isfinite(float(loss_rec2))
+
+
+def test_fused_pretrain_path_runs():
+    """cfg.fused_steps > 0 exercises the lax.scan chunk path (bulk gather
+    before the scan, schedule counts padded steps)."""
+    from hsimae_tpu.config import PretrainConfig
+    from hsimae_tpu.data.gwpca import apply_gwpca
+    from hsimae_tpu.data.pipeline import MultiScenePatchSource
+    from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
+    from hsimae_tpu.data.windows import build_pretrain_cut_index
+    from hsimae_tpu.train.pretrain import run_pretraining
+
+    scenes = [apply_gwpca(s, 32) for s in
+              make_synthetic_pretrain_scenes(2, (28, 36), bands=40, seed=6)]
+    src = MultiScenePatchSource(scenes, patch_size=9)
+    idx = build_pretrain_cut_index([s.shape for s in scenes], 9, coarse_from=1)
+    params, hist = run_pretraining(
+        src, idx.locs, TINY,
+        PretrainConfig(epochs=1, batch_size=16, fused_steps=3, log_every=10**9),
+    )
+    assert len(hist["epoch_loss"]) == 1
+    assert np.isfinite(hist["epoch_loss"][0])
