@@ -9,6 +9,13 @@ the gradient all-reduce over ICI inside the jitted train step.
 
 Works identically on real TPU slices and on the virtual CPU mesh used by
 tests (``--xla_force_host_platform_device_count``).
+
+Multi-host note: this module targets single-controller processes (one host,
+N local devices — the environments this repo runs in). On a multi-host slice
+the same mesh code works under jax.distributed, but ``shard_batch`` must be
+replaced by ``jax.make_array_from_process_local_data`` so each host feeds
+only its local shard of the HSIHybrid cut index (the index-table design
+already partitions trivially: slice ``locs`` by ``jax.process_index()``).
 """
 
 from __future__ import annotations

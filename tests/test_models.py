@@ -252,3 +252,23 @@ def test_bf16_compute_dtype_runs():
     assert np.isfinite(float(loss))
     # params stay f32
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+
+
+def test_gap_head_mode():
+    """head_mode='gap' pools over all tokens with cls_head in = embed_dim
+    (`Models.py:964-968`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.models.hsimae import HSIMAE, build_hsi_vit, init_model
+
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16,
+                 decoder_num_heads=2, head_mode="gap")
+    m = build_hsi_vit(cfg, 5)
+    p = init_model(m, seed=0)["params"]
+    assert p["cls_head"]["kernel"].shape == (32, 5)  # embed_dim, not *T
+    y = m.apply({"params": p}, jnp.ones((2, 9, 9, 32)), False,
+                method=HSIMAE.classify)
+    assert y.shape == (2, 5)
