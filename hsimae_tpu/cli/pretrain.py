@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coarse-from", type=int, default=14,
                    help="scene id from which cuts are non-overlapping (`:101-110`)")
     p.add_argument("--workdir", default=None)
-    p.add_argument("--checkpoint-every", type=int, default=0, dest="ckpt_every")
+    # preemption-safe default: a killed long pretrain resumes out of the box
+    # (the reference saves only at the very end, `Model_Pretraining.py:111`)
+    p.add_argument("--checkpoint-every", type=int, default=1000, dest="ckpt_every",
+                   help="save a resumable checkpoint every N steps (0 = final only)")
     p.add_argument("--no-resume", dest="resume", action="store_false", default=True)
     p.add_argument("--fused-steps", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",

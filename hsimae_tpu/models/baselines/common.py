@@ -32,7 +32,7 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.hidden_dim)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.dim)(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -81,12 +81,12 @@ class TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.depth):
-            y = nn.LayerNorm(name=f"norm1_{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x)
             x = x + FusedAttention(
                 self.dim, self.heads, self.dim_head, self.dropout,
                 scale=self.attn_scale, name=f"attn_{i}",
             )(y, train)
-            y = nn.LayerNorm(name=f"norm2_{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x)
             x = x + MlpBlock(self.dim, self.mlp_dim, self.dropout, name=f"mlp_{i}")(y, train)
         return x
 

@@ -118,9 +118,11 @@ class FFNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.gelu(nn.Conv(self.hidden, (1, 1), use_bias=False, name="conv1")(x))
+        y = nn.gelu(nn.Conv(self.hidden, (1, 1), use_bias=False, name="conv1")(x),
+                    approximate=False)
         y = nn.gelu(nn.Conv(self.hidden, (3, 3), padding=1, use_bias=False,
-                            feature_group_count=self.hidden, name="proj1")(y))
+                            feature_group_count=self.hidden, name="proj1")(y),
+                    approximate=False)
         return nn.Conv(self.dim, (1, 1), use_bias=False, name="conv2")(y)
 
 
@@ -138,14 +140,14 @@ class EISA(nn.Module):
         conv1d = lambda feats, k, name: nn.Conv(feats, (k,), padding=k // 2, name=name)
 
         # Height branch
-        hmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_h")(x))  # [B,H,W,C]
+        hmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_h")(x), approximate=False)  # [B,H,W,C]
         h2 = hmap.mean(axis=(2, 3))[:, :, None]  # [B, H, 1] pooled over W,C
         h3 = nn.sigmoid(conv1d(1, 1, "convH")(h2))
         h3 = nn.sigmoid(conv1d(1, 3, "convH2")(h3))  # [B, H, 1]
         h_out = hmap * h3[:, :, None, :]  # scale per row
 
         # Width branch (gate mixes H and W stats)
-        wmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_w")(x))
+        wmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_w")(x), approximate=False)
         w2 = wmap.mean(axis=(1, 3))[:, :, None]  # [B, W, 1]
         mix = jnp.concatenate([h2, w2], axis=-1)  # [B, H, 2] (H == W)
         mix = nn.sigmoid(conv1d(1, 1, "mix_hw")(mix))
@@ -153,7 +155,7 @@ class EISA(nn.Module):
         w_out = wmap * mix[:, None, :, :]  # scale per column
 
         # Spectral branch (gate mixes H, W and channel stats)
-        smap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_s")(x))
+        smap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_s")(x), approximate=False)
         s1 = smap.mean(axis=(1, 2))[:, :, None]  # [B, C, 1]
         hproj = nn.Dense(c, name="linearH")(h2[:, :, 0])[:, :, None]  # [B,C,1] via [B,H]->C
         wproj = nn.Dense(c, name="linearW")(w2[:, :, 0])[:, :, None]
@@ -178,9 +180,9 @@ class PermutatorBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         groups = 8 if self.dim == 440 else 16
-        y = nn.GroupNorm(num_groups=groups, name="norm1")(x)
+        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm1")(x)
         x = x + EISA(self.dim, self.spatial, name="attn")(y, train)
-        y = nn.GroupNorm(num_groups=groups, name="norm2")(x)
+        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm2")(x)
         return x + FFNConv(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(y)
 
 
@@ -216,7 +218,7 @@ class DCTN(nn.Module):
                 spatial = z.shape[1]
 
         # parallel conv path from the embedding (`:338-343`)
-        act = nn.gelu
+        act = lambda v: nn.gelu(v, approximate=False)  # torch nn.GELU is exact erf
         c = act(_bn(train, "bn2")(nn.Conv(128, (3, 3), padding=1, name="conv2")(emb)))
         c = act(_bn(train, "bn2_2")(nn.Conv(128, (3, 3), padding=1,
                                             feature_group_count=128, name="conv2_2")(c)))
@@ -237,5 +239,5 @@ class DCTN(nn.Module):
         z = nn.Conv(self.embed_dims[-1], (1, 1), name="conv_end")(
             jnp.concatenate([c, z, e], axis=-1))
         z = z.reshape(z.shape[0], -1, z.shape[-1])
-        z = nn.LayerNorm(name="norm")(z)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm")(z)
         return nn.Dense(self.num_classes, name="head")(z.mean(axis=1))

@@ -78,8 +78,8 @@ class GSSA(nn.Module):
         if n_groups > 1:
             # group tokens attend across groups (`:198-216`)
             gt = group_tok.reshape(b, n_groups, h, d).transpose(0, 2, 1, 3)  # [b,h,G,d]
-            y = nn.LayerNorm(name="gt_norm")(gt)
-            y = nn.gelu(y)
+            y = nn.LayerNorm(epsilon=1e-5, name="gt_norm")(gt)
+            y = nn.gelu(y, approximate=False)
             # conv1d over (h*d) features per group — mixes heads (`:152-158`)
             y = y.transpose(0, 2, 1, 3).reshape(b, n_groups, h * d)
             y = nn.Dense(inner * 2, name="gt_qk")(y)
@@ -125,14 +125,14 @@ class GSCViT(nn.Module):
             x = GSC(dout, self.padding[i], self.num_groups[i], name=f"gsc_{i}")(x, train)
             y = x
             for j in range(self.depth[i]):
-                z = nn.LayerNorm(name=f"prenorm_{i}_{j}")(x)
+                z = nn.LayerNorm(epsilon=1e-5, name=f"prenorm_{i}_{j}")(x)
                 x = GSSA(dout, self.heads[i], 16, self.group_spatial_size[i],
                          self.dropout, name=f"gssa_{i}_{j}")(z, train)
             if i != n_stages - 1:
-                x = nn.LayerNorm(name=f"postnorm_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"postnorm_{i}")(x)
             x = nn.Conv(dout, (1, 1), name=f"pw_{i}")(x) + y
             x = nn.relu(_bn(train, f"stage_bn_{i}")(x))
 
         x = x.mean(axis=(1, 2))
-        x = nn.LayerNorm(name="head_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="head_norm")(x)
         return nn.Dense(self.num_classes, name="head")(x)

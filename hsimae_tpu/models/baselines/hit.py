@@ -83,7 +83,7 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.gelu(nn.Dense(self.hidden)(x))
+        x = nn.gelu(nn.Dense(self.hidden)(x), approximate=False)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = nn.Dense(self.out)(x)
         return nn.Dropout(self.drop, deterministic=not train)(x)
@@ -144,12 +144,12 @@ class PermutatorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if self.use_conv_mixer:
             x = x + ConvPermuteMLP(self.dim, name="attn")(y, train)
         else:
             x = x + WeightedPermuteMLP(self.dim, self.segment_dim, name="attn")(y, train)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dim,
                        name="mlp")(y, train)
 
@@ -189,5 +189,5 @@ class HiT(nn.Module):
                             padding="VALID", name=f"downsample_{i}")(z)
 
         z = z.reshape(b, -1, z.shape[-1])
-        z = nn.LayerNorm(name="norm")(z)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm")(z)
         return nn.Dense(self.num_classes, name="head")(z.mean(axis=1))

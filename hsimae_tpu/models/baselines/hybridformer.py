@@ -58,8 +58,8 @@ class ConvFFN(nn.Module):
         y = nn.Conv(c, (3, 3), padding=1, feature_group_count=c, name="dw")(y)
         y = nn.Conv(256, (1, 1), name="pw")(y)
         y = _bn(train, "bn")(y)
-        y = nn.gelu(nn.Conv(512, (1, 1), name="fc1")(y))
-        y = nn.gelu(nn.Conv(self.dim, (1, 1), name="fc2")(y))
+        y = nn.gelu(nn.Conv(512, (1, 1), name="fc1")(y), approximate=False)
+        y = nn.gelu(nn.Conv(self.dim, (1, 1), name="fc2")(y), approximate=False)
         return x + y.reshape(b, n, c)
 
 
@@ -122,11 +122,11 @@ class SubNet(nn.Module):
         y = y + pos[:, :n]
         y = nn.Dropout(self.emb_dropout, deterministic=not train)(y)
         for i in range(self.depth):
-            z = nn.LayerNorm(name=f"norm1_{i}")(y)
+            z = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(y)
             y = HybridAttention(self.dim, self.heads, self.dim_head,
                                 self.num_patches, self.dropout,
                                 name=f"attn_{i}")(z, train) + y
-            z = nn.LayerNorm(name=f"norm2_{i}")(y)
+            z = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(y)
             y = ConvFFN(self.dim, name=f"ffn_{i}")(z, train) + y
         return y
 
@@ -156,6 +156,6 @@ class HybridFormer(nn.Module):
             y = SubNet(self.dim, ps, n, self.depth, self.heads, self.dim_head,
                        self.dropout, self.emb_dropout, name=f"sub_{ps}")(x, train)
             y = y.reshape(y.shape[0], -1)
-            y = nn.LayerNorm(name=f"head_norm_{ps}")(y)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"head_norm_{ps}")(y)
             res = res + nn.Dense(self.num_classes, name=f"head_{ps}")(y) * wgt
         return res

@@ -27,9 +27,12 @@ class SpectralAttention(nn.Module):
     def __call__(self, x):  # [B, h, w, C]
         y1 = x.mean(axis=(1, 2))
         y2 = x.max(axis=(1, 2))
-        mlp = nn.Sequential([
-            nn.Dense(self.hidden), nn.relu, nn.Dense(self.out), nn.sigmoid,
-        ])
+        fc1 = nn.Dense(self.hidden, name="fc1")
+        fc2 = nn.Dense(self.out, name="fc2")
+
+        def mlp(v):  # shared MLP (`RSSAN.py:10-15`), applied to avg and max
+            return nn.sigmoid(fc2(nn.relu(fc1(v))))
+
         y = mlp(y1) + mlp(y2)
         return nn.sigmoid(y)[:, None, None, :]
 

@@ -68,13 +68,13 @@ class SpectralFormer(nn.Module):
                 z = nn.Conv(n_tok, (1, 2), padding="VALID",
                             name=f"skipcat_{i - 2}")(pair)  # [B, d, 1, n]
                 z = z.squeeze(2).transpose(0, 2, 1)  # [B, n, d]
-            y = nn.LayerNorm(name=f"norm1_{i}")(z)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(z)
             z = z + FusedAttention(self.dim, self.heads, self.dim_head,
                                    self.dropout, qkv_bias=False,
                                    name=f"attn_{i}")(y, train)
-            y = nn.LayerNorm(name=f"norm2_{i}")(z)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(z)
             z = z + MlpBlock(self.dim, self.mlp_dim, self.dropout,
                              name=f"mlp_{i}")(y, train)
 
-        z = nn.LayerNorm(name="head_norm")(z[:, 0])
+        z = nn.LayerNorm(epsilon=1e-5, name="head_norm")(z[:, 0])
         return nn.Dense(self.num_classes, name="head")(z)

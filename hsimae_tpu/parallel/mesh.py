@@ -10,12 +10,13 @@ the gradient all-reduce over ICI inside the jitted train step.
 Works identically on real TPU slices and on the virtual CPU mesh used by
 tests (``--xla_force_host_platform_device_count``).
 
-Multi-host note: this module targets single-controller processes (one host,
-N local devices — the environments this repo runs in). On a multi-host slice
-the same mesh code works under jax.distributed, but ``shard_batch`` must be
-replaced by ``jax.make_array_from_process_local_data`` so each host feeds
-only its local shard of the HSIHybrid cut index (the index-table design
-already partitions trivially: slice ``locs`` by ``jax.process_index()``).
+Multi-host: under ``jax.distributed`` each host feeds only its local shard of
+the global batch. ``process_local_slice`` computes the contiguous rows of a
+global batch owned by this process (the HSIHybrid cut-index design partitions
+trivially: every host computes the same seeded epoch permutation and gathers
+only its slice), and ``shard_batch`` assembles the global array from the
+per-process shards via ``jax.make_array_from_process_local_data``. In a
+single-process run both degrade to plain ``device_put`` semantics.
 """
 
 from __future__ import annotations
@@ -52,10 +53,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (pytree of arrays, leading dim = batch) onto the
-    mesh, split over 'data'. Batch dim must divide the data axis size."""
+def process_local_slice(
+    n: int,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
+    """Rows of a length-``n`` global batch owned by this process.
+
+    Contiguous block partition (process p gets ``[p*n//P, (p+1)*n//P)``),
+    matching the process-contiguous device order of ``make_mesh`` so the
+    local rows land on local devices. Single-process degenerate case:
+    ``slice(0, n)``.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return slice(p * n // pc, (p + 1) * n // pc)
+
+
+def shard_batch(batch, mesh: Mesh, multihost: Optional[bool] = None):
+    """Place a batch (pytree of arrays, leading dim = batch) onto the mesh,
+    split over 'data'. Batch dim must divide the data axis size.
+
+    Single-process: plain ``device_put``. Multi-host (``jax.process_count()
+    > 1``, or ``multihost=True`` to force the path in tests): ``batch`` holds
+    only THIS process's rows (see :func:`process_local_slice`) and the global
+    array is assembled with ``jax.make_array_from_process_local_data``.
+    """
     sh = batch_sharding(mesh)
+    if multihost is None:
+        multihost = jax.process_count() > 1
+    if multihost:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

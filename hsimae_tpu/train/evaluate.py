@@ -60,7 +60,25 @@ def classify_scene(
     """Predict a label for every pixel -> [h, w] int32 (1-based)."""
     model = build_hsi_vit(model_cfg, num_classes)
     tgt = init_model(model, seed=0)["params"]
-    params, _, _ = partial_restore(tgt, params, verbose=False)
+    params, loaded, skipped = partial_restore(tgt, params, verbose=False)
+    # A wrong --num-classes or mismatched checkpoint would silently leave
+    # leaves (worst: cls_head) at random init and produce meaningless metrics.
+    from hsimae_tpu.checkpoints.io import _flatten
+
+    uncovered = set(_flatten(tgt)) - set(loaded)
+    if any(p[0] == "cls_head" for p in uncovered):
+        raise ValueError(
+            "checkpoint does not cover cls_head — wrong num_classes or a "
+            f"pretrain-only checkpoint? (loaded {len(loaded)}, "
+            f"ignored {len(skipped)} source leaves)"
+        )
+    if uncovered:
+        import warnings
+
+        warnings.warn(
+            f"partial restore left {len(uncovered)} target leaves at random "
+            f"init (ignored {len(skipped)} source leaves); evaluation "
+            "metrics may be meaningless", stacklevel=2)
     fwd = _cached_classify(model)
 
     source = ScenePatchSource(scene, model_cfg.img_size)

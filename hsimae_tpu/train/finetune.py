@@ -173,8 +173,8 @@ def dual_branch_finetune(
     logger = logger or MetricLogger(workdir)
     t_size, l_size = model_cfg.t_size, model_cfg.l_size
 
-    hist = {"loss": [], "loss_rec": [], "train_aa": [], "val_oa": [], "val_aa": [],
-            "val_kappa": []}
+    hist = {"loss": [], "loss_rec": [], "train_aa": [], "val_loss": [],
+            "val_oa": [], "val_aa": [], "val_kappa": [], "val_epoch": []}
     best = None
 
     for epoch in range(cfg.epochs):
@@ -220,7 +220,7 @@ def dual_branch_finetune(
         hist["train_aa"].append(tr_m.aa)
 
         if (epoch + 1) % eval_every == 0 or epoch == cfg.epochs - 1:
-            vp, vg = [], []
+            vp, vg, vlogits = [], [], []
             for chunk, valid in batch_indices(
                 len(va_idx), min(cfg.val_batch_size, len(va_idx)),
                 shuffle=False,
@@ -229,13 +229,27 @@ def dual_branch_finetune(
                 logits = eval_fn(state.params, xv)
                 vp.append(np.asarray(jnp.argmax(logits, axis=-1))[valid])
                 vg.append(va_y[chunk][valid])
-            vm = classification_metrics(np.concatenate(vg), np.concatenate(vp))
+                vlogits.append(np.asarray(logits)[valid])
+            vg_all = np.concatenate(vg)
+            vm = classification_metrics(vg_all, np.concatenate(vp))
+            # val CE loss (ignore_index=0), the reference's 4th curve
+            # (`Model_Finetuning.py:207-209,223-233`)
+            z = np.concatenate(vlogits).astype(np.float64)
+            z -= z.max(axis=-1, keepdims=True)
+            logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+            vmask = vg_all != 0
+            val_loss = float(
+                -(logp[np.arange(len(vg_all)), vg_all] * vmask).sum()
+                / max(vmask.sum(), 1)
+            )
+            hist["val_loss"].append(val_loss)
             hist["val_oa"].append(vm.oa)
             hist["val_aa"].append(vm.aa)
             hist["val_kappa"].append(vm.kappa)
+            hist["val_epoch"].append(epoch)
             best = vm
-            logger.log(epoch=epoch, loss=hist["loss"][-1], val_oa=vm.oa,
-                       val_aa=vm.aa, val_kappa=vm.kappa,
+            logger.log(epoch=epoch, loss=hist["loss"][-1], val_loss=val_loss,
+                       val_oa=vm.oa, val_aa=vm.aa, val_kappa=vm.kappa,
                        lr=float(sched(int(state.step) - 1)))
 
     params = jax.device_get(state.params)

@@ -108,14 +108,25 @@ def pretrain_optimizer(
     b1: float = 0.9,
     b2: float = 0.95,
 ):
-    """Per-iteration cosine with 5% warmup (`Model_Pretraining.py:86-88`)."""
-    sched = timm_cosine_schedule(
+    """Per-iteration cosine with 5% warmup (`Model_Pretraining.py:86-88`).
+
+    timm's scheduler is stepped AFTER ``optimizer.step()``
+    (`Model_Pretraining.py:100-105`) and the constructor initializes lr to
+    ``warmup_lr_init``, so reference iteration t trains at cosine(t-1) with
+    iteration 0 at warmup_lr_init == cosine(0). The returned schedule is
+    shifted accordingly: sched(t) = cosine(max(t-1, 0)).
+    """
+    inner = timm_cosine_schedule(
         lr,
         t_initial=total_steps,
         warmup_t=int(np.ceil(total_steps * warmup_frac)),
         lr_min=lr_min,
         warmup_lr_init=0.0,
     )
+
+    def sched(t):
+        return inner(jnp.maximum(jnp.asarray(t) - 1, 0))
+
     return adamw(sched, weight_decay, b1=b1, b2=b2), sched
 
 
@@ -127,9 +138,14 @@ def finetune_optimizer(
     warmup_frac: float = 0.1,
 ):
     """Per-EPOCH cosine with 10% warmup and floor/init at lr*0.01
-    (`Model_Finetuning.py:105-107`). The schedule is still indexed by the
-    global step; it divides by steps_per_epoch so the LR changes once per
-    epoch exactly as the reference's `scheduler.step(epoch)`."""
+    (`Model_Finetuning.py:105-107`). The schedule is indexed by the global
+    step and divides by steps_per_epoch so the LR changes once per epoch.
+
+    The reference calls ``scheduler.step(epoch)`` AFTER epoch e
+    (`Model_Finetuning.py:234`), so epoch e trains at cosine(e-1) and epoch 0
+    at the constructor-initialized warmup_lr_init == cosine(0); the epoch
+    index is shifted accordingly.
+    """
     epoch_sched = timm_cosine_schedule(
         lr,
         t_initial=epochs,
@@ -139,6 +155,7 @@ def finetune_optimizer(
     )
 
     def sched(step):
-        return epoch_sched(jnp.asarray(step) // max(steps_per_epoch, 1))
+        e = jnp.asarray(step) // max(steps_per_epoch, 1)
+        return epoch_sched(jnp.maximum(e - 1, 0))
 
     return adamw(sched, weight_decay, b1=0.9, b2=0.999), sched

@@ -42,7 +42,13 @@ from hsimae_tpu.data.pipeline import (
 )
 from hsimae_tpu.models.hsimae import HSIMAE, build_hsimae, init_model
 from hsimae_tpu.models.masking import choose_grid_shape, group_by_shape
-from hsimae_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
+from hsimae_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    process_local_slice,
+    replicate,
+    shard_batch,
+)
 from hsimae_tpu.train.optim import pretrain_optimizer
 from hsimae_tpu.utils.logger import MetricLogger
 
@@ -52,12 +58,17 @@ class TrainState(train_state.TrainState):
 
 
 def make_pretrain_step(model: HSIMAE, flip_augment: bool = True):
-    """Returns ``step(state, imgs, rng, len_t, len_l) -> (state, loss)``.
+    """Returns ``step(state, imgs, rng, len_t, len_l, w=None) -> (state, loss)``.
 
-    ``rng`` is a per-step PRNGKey; ``len_t``/``len_l`` are static.
+    ``rng`` is a per-step PRNGKey; ``len_t``/``len_l`` are static. ``w`` is an
+    optional per-sample validity weight: the final partial batch of an epoch
+    is padded to the static shape with wrapped duplicates, and weighting them
+    0 matches the reference's smaller-final-batch semantics (its DataLoader
+    trains each cut exactly once per epoch).
     """
 
-    def step(state: TrainState, imgs: jax.Array, rng: jax.Array, len_t: int, len_l: int):
+    def step(state: TrainState, imgs: jax.Array, rng: jax.Array, len_t: int,
+             len_l: int, w=None):
         kf, km, kd = jax.random.split(rng, 3)
         if flip_augment:
             imgs = augment_flips(imgs, kf)
@@ -69,6 +80,7 @@ def make_pretrain_step(model: HSIMAE, flip_augment: bool = True):
                 len_t,
                 len_l,
                 True,
+                w,
                 rngs={"mask": km, "droppath": kd},
                 method=HSIMAE.forward_pretrain,
             )
@@ -94,6 +106,11 @@ def make_fused_pretrain_chunk(
 
     Returns ``chunk(state, locs_chunk, base_rng, len_t, len_l) ->
     (state, mean_loss)`` with static ``len_t``/``len_l``.
+
+    Deliberate divergence: the epoch is padded (wrapping) to whole [K, B]
+    chunks, so up to K*B-1 duplicated cuts train at FULL weight each epoch —
+    the throughput-optimal trade (vs the non-fused path, which zero-weights
+    its padded tail). On the 4M-patch corpus the duplication is <0.1%.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -189,6 +206,7 @@ def run_pretraining(
             start_epoch = int(state.step) // steps_per_epoch
             print(f"[pretrain] resumed from {ck} at epoch {start_epoch}")
 
+    multihost = jax.process_count() > 1 and mesh is not None
     base_key = jax.random.PRNGKey(cfg.seed)
     logger = logger or MetricLogger(workdir)
     epoch_losses = []
@@ -236,12 +254,30 @@ def run_pretraining(
             by_shape = group_by_shape(batches, t_size, l_size,
                                       cfg.mask_ratio, shape_rng)
             for (len_t, len_l), group in by_shape.items():
-                for chunk, _valid in group:
-                    imgs = source.gather(locs[chunk])
-                    if mesh is not None:
-                        imgs = shard_batch(imgs, mesh)
+                for chunk, valid in group:
+                    # padded tail rows (wrapped duplicates) get weight 0 so
+                    # each cut contributes exactly once per epoch, like the
+                    # reference DataLoader's smaller final batch. Pass w only
+                    # when padding exists: the common all-valid batch keeps
+                    # the weightless (slightly cheaper) program.
+                    w = None if valid.all() else jnp.asarray(valid, jnp.float32)
+                    # multi-host: every process computes the same seeded
+                    # permutation; each gathers only its contiguous slice of
+                    # the global batch and shard_batch assembles the global
+                    # array from the per-process shards
+                    if multihost:
+                        sl = process_local_slice(bs)
+                        imgs = shard_batch(source.gather(locs[chunk[sl]]), mesh)
+                        if w is not None:
+                            w = shard_batch(w[sl], mesh, multihost=True)
+                    else:
+                        imgs = source.gather(locs[chunk])
+                        if mesh is not None:
+                            imgs = shard_batch(imgs, mesh)
+                            if w is not None:
+                                w = shard_batch(w, mesh)
                     rng = jax.random.fold_in(base_key, int(state.step))
-                    state, loss = step_fn(state, imgs, rng, len_t, len_l)
+                    state, loss = step_fn(state, imgs, rng, len_t, len_l, w)
                     ep_steps += 1
                     if ep_steps % cfg.log_every == 0:
                         logger.log(step=int(state.step), loss=float(loss),

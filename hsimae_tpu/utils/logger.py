@@ -90,7 +90,9 @@ def plot_history(path: str, hist: Dict[str, List[float]]) -> None:
     """Twin-axis loss / accuracy curves from a history dict — the reference's
     live matplotlib figure (`Model_Finetuning.py:132-137,223-233`), rendered
     once at the end. Keys containing 'loss' go on the left axis, the rest on
-    the right."""
+    the right. ``val_*`` series are plotted against ``hist['val_epoch']``
+    when present, so eval_every > 1 keeps the curves horizontally aligned
+    with the per-epoch train series."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -103,11 +105,14 @@ def plot_history(path: str, hist: Dict[str, List[float]]) -> None:
     ax2.set_ylabel("Average Accuracy")
     lns = []
     styles = iter(["b", "g", "c", "y", "r", "m", "k"])
+    val_x = hist.get("val_epoch") or None
     for key, ys in hist.items():
-        if not ys:
+        if not ys or key == "val_epoch":
             continue
         ax = ax1 if "loss" in key else ax2
-        lns += ax.plot(ys, next(styles, "k"), lw=1, label=key)
+        xs = (val_x if key.startswith("val_") and val_x is not None
+              and len(val_x) == len(ys) else list(range(len(ys))))
+        lns += ax.plot(xs, ys, next(styles, "k"), lw=1, label=key)
     if lns:
         ax1.legend(lns, [l.get_label() for l in lns], loc="center right")
     fig.savefig(path)

@@ -1,0 +1,103 @@
+"""Converted-weights logits parity for the baseline zoo vs the torch oracle.
+
+Each test builds the reference torch model from
+`/root/reference/Compared_Methods/` (read-only oracle, never copied), converts
+its state_dict through `hsimae_tpu.models.baselines.convert`, and asserts the
+flax re-implementation produces the same eval logits. This pins the
+quirk-heavy models (SSFTT dim**-0.5 scale, SpectralFormer CAF skipcat, SSRN
+double activation, RSSAN conv1-twice/ssa1-reuse) numerically, not just by
+output shape.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+
+import jax
+import jax.numpy as jnp
+
+from hsimae_tpu.checkpoints.io import partial_restore
+from hsimae_tpu.models import baselines as zoo
+from hsimae_tpu.models.baselines import convert as cvt
+
+
+def _load_full(model, x_hwc, converted):
+    """Init flax variables, restore EVERY leaf from the converted tree, and
+    return the restored variables (asserting full coverage)."""
+    vs = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x_hwc, False,
+    )
+    out = {}
+    for col in vs:
+        src = converted.get(col)
+        assert src is not None, f"converter produced no '{col}' collection"
+        restored, loaded, skipped = partial_restore(vs[col], src, verbose=False)
+        n = len(jax.tree_util.tree_leaves(vs[col]))
+        assert len(loaded) == n, (
+            f"{col}: loaded {len(loaded)}/{n} leaves; unmapped source: {skipped}"
+        )
+        assert not skipped, f"{col}: converter produced unknown leaves {skipped}"
+        out[col] = restored
+    return out
+
+
+def _assert_logits_match(tm, jm, converted, bands, ps, rtol=2e-4, atol=2e-4):
+    tm.eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, bands, ps, ps)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    x_hwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    vs = _load_full(jm, x_hwc, converted)
+    ours = np.asarray(jm.apply(vs, x_hwc, False))
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=atol)
+
+
+def test_ssftt_logits_match_reference():
+    from Compared_Methods.SSFTT import SSFTTnet
+
+    # harness config (`/root/reference/Compared_Experiment.py:373`); bands=30
+    # is baked into the reference (in-channels kennel_3D*28, `SSFTT.py:125`)
+    tm = SSFTTnet(1, 10, kennel_3D=8, kennel_2D=64, num_tokens=4, dim=64, heads=4)
+    jm = zoo.SSFTT(num_classes=10, kernel_3d=8, kernel_2d=64, num_tokens=4,
+                   dim=64, heads=4)
+    _assert_logits_match(tm, jm, cvt.convert_ssftt(tm.state_dict(), kernel_3d=8),
+                         bands=30, ps=13)
+
+
+def test_spectralformer_logits_match_reference():
+    from Compared_Methods.SpectralFormer import ViT
+
+    # harness config shape (`Compared_Experiment.py:383`), 40 bands for speed
+    tm = ViT(7, 3, 40, 10, dim=64, depth=5, heads=4, mlp_dim=8,
+             dropout=0.1, emb_dropout=0.1, mode="CAF")
+    jm = zoo.SpectralFormer(image_size=7, near_band=3, num_bands=40,
+                            num_classes=10, dim=64, depth=5, heads=4,
+                            mlp_dim=8, dim_head=16)
+    _assert_logits_match(tm, jm, cvt.convert_spectralformer(tm.state_dict()),
+                         bands=40, ps=7)
+
+
+def test_ssrn_logits_match_reference():
+    from Compared_Methods.SSRN import SSRN as RefSSRN
+
+    tm = RefSSRN(30, 6)
+    jm = zoo.SSRN(bands=30, num_classes=6)
+    _assert_logits_match(tm, jm, cvt.convert_ssrn(tm.state_dict()),
+                         bands=30, ps=7)
+
+
+def test_rssan_logits_match_reference():
+    from Compared_Methods.RSSAN import RSSAN as RefRSSAN
+
+    # constructor args per the reference's own comment (`RSSAN.py:77`)
+    tm = RefRSSAN(6, 32, 3, 32, 1, 1)
+    jm = zoo.RSSAN(bands=32, num_classes=6, features=32)
+    _assert_logits_match(tm, jm, cvt.convert_rssan(tm.state_dict()),
+                         bands=32, ps=7)

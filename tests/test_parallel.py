@@ -83,6 +83,43 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
 
 
+def test_process_local_slice_partitions_exactly():
+    from hsimae_tpu.parallel.mesh import process_local_slice
+
+    for n, pc in [(16, 4), (17, 4), (8, 1), (5, 3), (4, 8)]:
+        covered = []
+        for p in range(pc):
+            sl = process_local_slice(n, process_index=p, process_count=pc)
+            covered.extend(range(n)[sl])
+        assert covered == list(range(n)), (n, pc)
+        sizes = [
+            len(range(n)[process_local_slice(n, p, pc)]) for p in range(pc)
+        ]
+        assert max(sizes) - min(sizes) <= 1, (n, pc)
+
+
+def test_process_local_slice_single_process_degenerate():
+    from hsimae_tpu.parallel.mesh import process_local_slice
+
+    # no explicit index/count: real runtime values (single process here)
+    assert jax.process_count() == 1
+    assert process_local_slice(12) == slice(0, 12)
+
+
+def test_shard_batch_multihost_path_degenerates_to_device_put():
+    """The make_array_from_process_local_data assembly path (forced via
+    multihost=True) must produce the same global array + sharding as the
+    single-process device_put path."""
+    mesh = make_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    a = shard_batch(jnp.asarray(x), mesh)
+    b = shard_batch(x, mesh, multihost=True)
+    assert b.sharding.spec == P("data")
+    assert b.shape == (16, 4)
+    assert len(b.addressable_shards) == 8
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pad_to_multiple():
     assert pad_to_multiple(9, 8) == 16
     assert pad_to_multiple(16, 8) == 16

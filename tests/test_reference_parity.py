@@ -87,6 +87,34 @@ def test_eval_logits_match_reference():
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
 
 
+def test_pkl_checkpoint_ingestion_end_to_end(tmp_path):
+    """The HF-checkpoint entry path (`RyanWy/HSIMAE` ships torch .pkl files,
+    `/root/reference/README.md:37`): torch.save -> load_torch_checkpoint ->
+    partial_restore -> logits parity, i.e. the exact code path a user of the
+    published weights takes (round-1 gap: parity tests bypassed the file)."""
+    from hsimae_tpu.checkpoints.torch_convert import load_torch_checkpoint
+
+    tm = _torch_dualvit()
+    path = str(tmp_path / "HSIMAE_test.pkl")
+    torch.save(tm.state_dict(), path)
+
+    converted = load_torch_checkpoint(path)
+    jm = build_dual_vit(CFG, N_CLASS, drop_path=0.0)
+    params = init_model(jm, seed=0)["params"]
+    params, loaded, _ = partial_restore(params, converted, verbose=False)
+    assert len(loaded) == len(jax.tree_util.tree_leaves(params))
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, CFG.bands, CFG.img_size, CFG.img_size)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tm(torch.from_numpy(x)[:, None]).numpy()
+    ours = np.asarray(
+        jm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                 False, method=HSIMAE.classify)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
+
+
 def test_grid_shape_candidates_match_reference():
     """choose_grid_shape's candidate set == the argmin set of the reference's
     get_dim_patches (`Models.py:484-493`) for every mask ratio used."""

@@ -49,6 +49,39 @@ def test_timm_cosine_schedule_values():
     assert np.isclose(float(s(100)), 0.01, atol=1e-7)
 
 
+def test_schedules_match_timm_stepped_after_update():
+    """timm's scheduler is stepped AFTER the optimizer step and initialized
+    at warmup_lr_init, so iteration/epoch t trains at cosine(t-1) with t=0 at
+    warmup_lr_init (`Model_Pretraining.py:100-105`,
+    `Model_Finetuning.py:234`)."""
+    # pretrain: per-iteration, warmup_lr_init=0
+    _, s = pretrain_optimizer(1e-2, 0.0, total_steps=100)
+    inner = timm_cosine_schedule(1e-2, 100, warmup_t=5, lr_min=1e-6)
+    assert float(s(0)) == 0.0           # first update at warmup_lr_init
+    assert np.isclose(float(s(1)), 0.0)  # = inner(0) = warmup_lr_init
+    assert np.isclose(float(s(3)), float(inner(2)))
+    assert np.isclose(float(s(50)), float(inner(49)))
+    # finetune: per-epoch, warmup_lr_init = lr_min = lr * 0.01
+    _, s = finetune_optimizer(1e-2, 0.0, epochs=10, steps_per_epoch=3)
+    ep = timm_cosine_schedule(1e-2, 10, warmup_t=1, lr_min=1e-4,
+                              warmup_lr_init=1e-4)
+    for step in range(6):  # epochs 0 and 1 both train at cosine(0) = 1e-4
+        assert np.isclose(float(s(step)), 1e-4), step
+    assert np.isclose(float(s(6)), float(ep(1)))   # epoch 2 -> cosine(1)
+    assert np.isclose(float(s(29)), float(ep(8)))  # epoch 9 -> cosine(8)
+
+
+def test_classify_scene_raises_on_uncovered_cls_head():
+    """Evaluating with a pretrain-only checkpoint (no cls_head) must fail
+    loudly, not silently score a random head (ADVICE r1)."""
+    from hsimae_tpu.train.evaluate import classify_scene
+
+    pre_params = init_model(build_hsimae(TINY), seed=0)["params"]
+    scene = np.random.default_rng(0).random((12, 12, TINY.bands)).astype(np.float32)
+    with pytest.raises(ValueError, match="cls_head"):
+        classify_scene(scene, pre_params, TINY, num_classes=4)
+
+
 def test_wd_mask_excludes_bias_and_norm():
     params = {
         "blocks_1_0": {
