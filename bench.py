@@ -109,21 +109,43 @@ def main():
         imgs = source.gather(locs[sel])
         return step_fn(state, imgs, jax.random.fold_in(key, i), len_t, len_l)
 
+    t_setup = time.perf_counter()
     for i in range(WARMUP_STEPS):
         state, loss = one_step(state, i)
         jax.block_until_ready(loss)  # force both compiles inside warmup
+    t_warm = time.perf_counter()
+    print(f"# warmup(+compiles) {t_warm - t_setup:.1f}s", file=sys.stderr)
 
     best_dt = float("inf")
     step_i = WARMUP_STEPS
-    for _ in range(WINDOWS):
+    # probe: the session mode (fast ~6ms/step vs throttled ~180ms/step) is a
+    # per-process property of this runtime and the throttle is device-level
+    # (measured: a 16-step fused scan runs at the same per-step rate), so a
+    # throttled session can't be salvaged — measure one cheap window and
+    # return early, letting the parent retry a fresh process sooner.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        state, loss = one_step(state, step_i)
+        step_i += 1
+    jax.block_until_ready(loss)
+    probe = (time.perf_counter() - t0) / 3
+    throttled = probe > 0.05
+    print(f"# probe {probe * 1e3:.1f} ms/step -> "
+          f"{'THROTTLED' if throttled else 'fast'} session", file=sys.stderr)
+
+    windows, msteps = (1, 8) if throttled else (WINDOWS, MEASURE_STEPS)
+    for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
+        for _ in range(msteps):
             state, loss = one_step(state, step_i)
             step_i += 1
         jax.block_until_ready(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
-    pps_eager = MEASURE_STEPS * BATCH / best_dt
+    pps_eager = msteps * BATCH / best_dt
     print(f"# eager loop: {pps_eager:,.0f} patches/s", file=sys.stderr)
+    if throttled:
+        _report(pps_eager)
+        return pps_eager
 
     # fused K-step chunks (one dispatch per K steps; see FUSED_K note)
     chunk_fn = make_fused_pretrain_chunk(model, source)
@@ -150,15 +172,20 @@ def main():
     print(f"# fused K={FUSED_K}: {pps_fused:,.0f} patches/s", file=sys.stderr)
 
     pps = max(pps_eager, pps_fused)
-    n_chips = jax.device_count()
-    pps_chip = pps / max(n_chips, 1)
+    _report(pps)
+    return pps
+
+
+def _report(pps: float) -> None:
+    import jax
+
+    pps_chip = pps / max(jax.device_count(), 1)
     print(json.dumps({
         "metric": "hsimae_b_pretrain_patches_per_sec_per_chip",
         "value": round(pps_chip, 1),
         "unit": "patches/s/chip",
         "vs_baseline": round(pps_chip / REF_A100_PATCHES_PER_SEC, 3),
     }))
-    return pps_chip
 
 
 def parent():

@@ -61,6 +61,13 @@ class ModelConfig:
     # numerics policy: params/optimizer in f32, activations in `compute_dtype`
     compute_dtype: jnp.dtype = jnp.float32
 
+    # run encoder blocks through the Pallas fused-block kernel on the
+    # inference path (train=False; the training path needs autodiff, which
+    # the kernel does not define — XLA's fused backward is used there).
+    # Batches are sliced into <=256-row single-program pallas_calls
+    # (`ops/fused_block.py` documents the gridded-compile workaround).
+    use_pallas: bool = False
+
     def __post_init__(self):
         if self.num_heads is None:
             object.__setattr__(self, "num_heads", self.embed_dim // 16)

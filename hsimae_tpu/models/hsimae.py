@@ -169,22 +169,50 @@ class HSIMAE(nn.Module):
 
     # ----------------------------- encoder --------------------------------
 
+    def _use_pallas(self, train: bool) -> bool:
+        """Pallas engages on the inference path only: the kernel defines no
+        VJP (training keeps XLA's fused backward) and param creation must go
+        through the flax modules at init. Off-TPU the fused path still runs
+        (through the kernel's XLA fallback) so CI exercises the wiring."""
+        if not self.cfg.use_pallas or train or self.is_initializing():
+            return False
+        from hsimae_tpu.ops.fused_block import FUSED_BLOCK_AVAILABLE
+
+        return FUSED_BLOCK_AVAILABLE
+
+    def _run_blocks(self, blocks, x: jax.Array, train: bool) -> jax.Array:
+        """Apply a list of Blocks; on the inference path with
+        ``cfg.use_pallas`` each block runs as the fused Pallas kernel
+        (<=256-row single-program calls, `ops/fused_block.py`)."""
+        if self._use_pallas(train):
+            from hsimae_tpu.ops.fused_block import (
+                fused_block_sliced,
+                params_from_flax,
+            )
+
+            for blk in blocks:
+                x = fused_block_sliced(
+                    x.astype(self.cfg.compute_dtype),
+                    params_from_flax(blk.variables["params"]),
+                    self.cfg.num_heads,
+                )
+            return x
+        for blk in blocks:
+            x = blk(x, train)
+        return x
+
     def _encode_grid(self, x: jax.Array, t: int, l: int, train: bool) -> jax.Array:
         """Run separable + fusion blocks over a dense [N, t, l, C] token grid."""
         c = self.cfg
         n = x.shape[0]
         dim = x.shape[-1]
         if c.s_depth > 0:
-            x1 = x.reshape(n * t, l, dim)
-            x2 = x.transpose(0, 2, 1, 3).reshape(n * l, t, dim)
-            for blk in self.blocks_1:
-                x1 = blk(x1, train)
-            for blk in self.blocks_2:
-                x2 = blk(x2, train)
+            x1 = self._run_blocks(self.blocks_1, x.reshape(n * t, l, dim), train)
+            x2 = self._run_blocks(
+                self.blocks_2, x.transpose(0, 2, 1, 3).reshape(n * l, t, dim), train
+            )
             x = x1.reshape(n, t, l, dim) + x2.reshape(n, l, t, dim).transpose(0, 2, 1, 3)
-        x = x.reshape(n, t * l, dim)
-        for blk in self.blocks:
-            x = blk(x, train)
+        x = self._run_blocks(self.blocks, x.reshape(n, t * l, dim), train)
         return self.norm(x)
 
     def encode(self, imgs: jax.Array, train: bool = False) -> jax.Array:

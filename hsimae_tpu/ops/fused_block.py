@@ -189,3 +189,28 @@ def fused_encoder_block(
         out_specs=pl.BlockSpec((tm, s, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )(x, *params)
+
+
+def fused_block_sliced(
+    x: jax.Array,  # [M, S, D]
+    params: BlockParams,
+    num_heads: int,
+    tile_m: int = 256,
+) -> jax.Array:
+    """Apply the fused block to an arbitrary-M batch as a host-side sequence
+    of single-program pallas_calls of <= ``tile_m`` rows each — the workaround
+    for the remote-compile helper's gridded-pallas crash (every call below
+    has grid (1,)). M is static under jit, so the slicing unrolls at trace
+    time; XLA still overlaps the per-slice kernels."""
+    m = x.shape[0]
+    if m <= tile_m:
+        return fused_encoder_block(x, params, num_heads, tile_m)
+    outs = []
+    for i in range(0, m - tile_m + 1, tile_m):
+        outs.append(
+            fused_encoder_block(x[i : i + tile_m], params, num_heads, tile_m)
+        )
+    rem = m % tile_m
+    if rem:
+        outs.append(fused_encoder_block(x[m - rem :], params, num_heads, tile_m))
+    return jnp.concatenate(outs, axis=0)

@@ -20,6 +20,41 @@ def test_fused_block_matches_flax_block():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_block_sliced_matches_unsliced():
+    """Batches larger than one tile are applied as a sequence of <=tile_m
+    single-program calls; the result must equal the one-shot application."""
+    from hsimae_tpu.ops.fused_block import fused_block_sliced
+
+    dim, heads, s, m = 64, 4, 9, 70  # 70 = 2 full 32-tiles + remainder 6
+    block = Block(dim, heads)
+    x = jax.random.normal(jax.random.PRNGKey(0), (m, s, dim), jnp.float32)
+    params = block.init(jax.random.PRNGKey(1), x, False)["params"]
+    p = params_from_flax(params)
+    want = fused_encoder_block(x, p, heads)
+    got = fused_block_sliced(x, p, heads, tile_m=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_model_use_pallas_inference_path_matches_default():
+    """cfg.use_pallas routes inference blocks through the fused path (XLA
+    fallback off-TPU); logits must match the flax-module path."""
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.models.hsimae import HSIMAE, build_dual_vit, init_model
+
+    cfg = preset("HSIMAE-S", depth=4, s_depth=2, decoder_depth=1,
+                 embed_dim=64, num_heads=4, decoder_dim=32,
+                 decoder_num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, cfg.img_size, cfg.img_size,
+                                                  cfg.bands), jnp.float32)
+    m0 = build_dual_vit(cfg, 5)
+    params = init_model(m0, seed=0)["params"]
+    base = m0.apply({"params": params}, x, False, method=HSIMAE.classify)
+    m1 = build_dual_vit(cfg.replace(use_pallas=True), 5)
+    fused = m1.apply({"params": params}, x, False, method=HSIMAE.classify)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_confusion_matrix_op_matches_numpy():
     rng = np.random.default_rng(0)
     y, p = rng.integers(0, 5, 200), rng.integers(0, 5, 200)
