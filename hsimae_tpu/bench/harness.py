@@ -20,6 +20,7 @@ Behavioral equivalent of the reference's ``training`` / ``test_model`` loops
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -87,6 +88,50 @@ def make_optimizer(spec: BaselineSpec, lr0: float):
         learning_rate=lr0, weight_decay=spec.weight_decay)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_steps(model, optimizer: str, weight_decay: float, has_bn: bool):
+    """One compiled (train_step, eval_step) pair per zoo model config.
+
+    flax modules are frozen dataclasses (hashable), and the learning rate is
+    an injected hyperparameter mutated per epoch, so the 17 runs of the
+    protocol (4-lr x 3-seed selection + 5-seed test) share ONE compilation —
+    essential on the TPU runtime, where each train-step compile costs minutes.
+    """
+    spec_like = BaselineSpec("_", None, 0, 0, optimizer=optimizer,
+                             weight_decay=weight_decay)
+    tx = make_optimizer(spec_like, 1e-3)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x, y, w, rng):
+        def loss_fn(p):
+            vars_in = {"params": p}
+            if has_bn:
+                vars_in["batch_stats"] = batch_stats
+            out = model.apply(
+                vars_in, x, True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if has_bn else [],
+            )
+            logits, new_vars = out if isinstance(out, tuple) else (out, {})
+            return cross_entropy_ignore0(logits, y, w), (logits, new_vars)
+
+        (loss, (logits, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        bs2 = new_vars.get("batch_stats", batch_stats)
+        return params2, bs2, opt_state2, loss, logits
+
+    @jax.jit
+    def eval_step(params, batch_stats, x):
+        vars_in = {"params": params}
+        if has_bn:
+            vars_in["batch_stats"] = batch_stats
+        return model.apply(vars_in, x, False)
+
+    return tx, train_step, eval_step
+
+
 def _set_lr(opt_state, lr: float):
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state
@@ -130,37 +175,10 @@ def train_baseline(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    tx = make_optimizer(spec, lr)
-    opt_state = tx.init(params)
     has_bn = bool(batch_stats)
-
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, x, y, w, rng):
-        def loss_fn(p):
-            vars_in = {"params": p}
-            if has_bn:
-                vars_in["batch_stats"] = batch_stats
-            out = model.apply(
-                vars_in, x, True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if has_bn else [],
-            )
-            logits, new_vars = out if isinstance(out, tuple) else (out, {})
-            return cross_entropy_ignore0(logits, y, w), (logits, new_vars)
-
-        (loss, (logits, new_vars)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        params2 = optax.apply_updates(params, updates)
-        bs2 = new_vars.get("batch_stats", batch_stats)
-        return params2, bs2, opt_state2, loss, logits
-
-    @jax.jit
-    def eval_step(params, batch_stats, x):
-        vars_in = {"params": params}
-        if has_bn:
-            vars_in["batch_stats"] = batch_stats
-        return model.apply(vars_in, x, False)
+    tx, train_step, eval_step = _cached_steps(
+        model, spec.optimizer, spec.weight_decay, has_bn)
+    opt_state = _set_lr(tx.init(params), lr)
 
     key = jax.random.PRNGKey(seed)
     hist = {"loss": [], "val_mean3": []}
@@ -172,7 +190,7 @@ def train_baseline(
     for epoch in range(spec.epochs):
         ep_rng = np.random.default_rng(seed + 7000 + epoch)
         opt_state = _set_lr(opt_state, epoch_lr(spec, lr, epoch))
-        ep_loss, steps = 0.0, 0
+        losses, steps = [], 0
         for chunk, valid in batch_indices(len(tr_i), bs, rng=ep_rng):
             x = source.gather_pixels(tr_i[chunk])
             rng = jax.random.fold_in(key, epoch * 10000 + steps)
@@ -182,9 +200,9 @@ def train_baseline(
             w = jnp.asarray(valid, jnp.float32)
             params, batch_stats, opt_state, loss, _ = train_step(
                 params, batch_stats, opt_state, x, y, w, rng)
-            ep_loss += float(loss)
+            losses.append(loss)  # device array; one sync per epoch
             steps += 1
-        hist["loss"].append(ep_loss / max(steps, 1))
+        hist["loss"].append(float(jnp.stack(losses).sum()) / max(steps, 1))
 
         vp, vg = [], []
         for chunk, valid in batch_indices(len(va_i), min(512, len(va_i)), shuffle=False):
@@ -220,16 +238,19 @@ def evaluate_baseline(
     """Full-scene per-pixel inference (`Compared_Experiment.py:275-317`)."""
     model = spec.build(scene_p.shape[-1], n_classes, "synthetic")
     source = ScenePatchSource(scene_p, spec.patch_size)
-
-    @jax.jit
-    def fwd(x):
-        return model.apply(run.variables, x, False)
+    has_bn = "batch_stats" in run.variables
+    # reuse the training-time compiled eval program (same module hash)
+    _, _, eval_step = _cached_steps(model, spec.optimizer, spec.weight_decay,
+                                    has_bn)
+    bstats = run.variables.get("batch_stats", {})
 
     h, w = scene_p.shape[:2]
     n = h * w
     out = np.zeros(n, np.int32)
     for chunk, valid in batch_indices(n, min(batch_size, n), shuffle=False):
-        logits = np.asarray(fwd(source.gather_pixels(chunk)))
+        logits = np.asarray(
+            eval_step(run.variables["params"], bstats,
+                      source.gather_pixels(chunk)))
         pred = np.argmax(logits[:, 1:], axis=1) + 1
         out[chunk[valid]] = pred[valid]
     return classification_metrics(test_gt, out.reshape(test_gt.shape))

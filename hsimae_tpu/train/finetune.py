@@ -182,8 +182,11 @@ def dual_branch_finetune(
         shape_rng = _pyrandom.Random(seed * 131 + epoch)
         un_order = ep_rng.permutation(n_un)
         un_pos = 0
-        ep_loss = ep_rec = 0.0
-        preds, gts = [], []
+        # device-side accumulators: one host sync per EPOCH, not per step
+        # (the reference's per-step .item() is its host-bound weakness,
+        # `Model_Finetuning.py:163-179`; SURVEY §3.2)
+        step_losses, step_recs, dev_preds = [], [], []
+        valids, gts = [], []
         batches = list(batch_indices(n_tr, bs_l, rng=ep_rng))
         by_shape = group_by_shape(batches, t_size, l_size,
                                   cfg.mask_ratio, shape_rng)
@@ -208,12 +211,16 @@ def dual_branch_finetune(
             state, loss, loss_rec, logits = step_fn(
                 state, x, y, w, x_u, w_u, rng, len_t, len_l
             )
-            ep_loss += float(loss)
-            ep_rec += float(loss_rec)
-            pr = np.asarray(jnp.argmax(logits, axis=-1))
-            preds.append(pr[valid])
+            step_losses.append(loss)
+            step_recs.append(loss_rec)
+            dev_preds.append(jnp.argmax(logits, axis=-1))
+            valids.append(valid)
             gts.append(tr_y[chunk][valid])
 
+        # single epoch-end sync for losses + train predictions
+        ep_loss = float(jnp.stack(step_losses).sum())
+        ep_rec = float(jnp.stack(step_recs).sum())
+        preds = [np.asarray(p)[v] for p, v in zip(dev_preds, valids)]
         tr_m = classification_metrics(np.concatenate(gts), np.concatenate(preds))
         hist["loss"].append(ep_loss / steps_per_epoch)
         hist["loss_rec"].append(ep_rec / steps_per_epoch)

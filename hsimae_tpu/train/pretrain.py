@@ -231,6 +231,7 @@ def run_pretraining(
         ep_rng = np.random.default_rng(cfg.seed + epoch)
         shape_rng = _pyrandom.Random(cfg.seed * 1000 + epoch)
         ep_loss, ep_steps = 0.0, 0
+        step_losses = []  # device arrays; summed in ONE sync at epoch end
         t0 = time.perf_counter()
         if fused:
             # pad the shuffled epoch (wrapping) to whole [K, B] chunks
@@ -279,10 +280,16 @@ def run_pretraining(
                     rng = jax.random.fold_in(base_key, int(state.step))
                     state, loss = step_fn(state, imgs, rng, len_t, len_l, w)
                     ep_steps += 1
+                    # no per-step float(loss): the reference's per-step
+                    # .item() host sync (`Model_Pretraining.py:106`) is the
+                    # exact host-bound pattern SURVEY flags; losses stay on
+                    # device and sync once per log interval / epoch end
+                    step_losses.append(loss)
                     if ep_steps % cfg.log_every == 0:
                         logger.log(step=int(state.step), loss=float(loss),
                                    lr=float(sched(int(state.step) - 1)))
-                    ep_loss += float(loss)  # device sync per step, like .item()
+        if step_losses:  # non-fused path: single host sync for the epoch
+            ep_loss = float(jnp.stack(step_losses).sum())
         dt = time.perf_counter() - t0
         if profile_dir and epoch == start_epoch + 1:
             jax.profiler.stop_trace()
