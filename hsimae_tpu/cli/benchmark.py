@@ -34,8 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-bands", type=int, default=103)
     p.add_argument("--synthetic-classes", type=int, default=6)
     p.add_argument("--samples-per-class", type=int, default=10)
+    # the baseline harness's grid (`Compared_Experiment.py:536`), which is
+    # one decade lower than the HSIMAE finetuning grid
     p.add_argument("--lr-grid", nargs="+", type=float,
-                   default=list(ProtocolConfig().lr_grid))
+                   default=[1e-3, 5e-4, 1e-4, 5e-5])
     p.add_argument("--selection-seeds", type=int, default=3)
     p.add_argument("--test-seeds", type=int, default=5)
     p.add_argument("--epochs", type=int, default=None,

@@ -197,20 +197,23 @@ def fused_block_sliced(
     num_heads: int,
     tile_m: int = 256,
 ) -> jax.Array:
-    """Apply the fused block to an arbitrary-M batch as a host-side sequence
-    of single-program pallas_calls of <= ``tile_m`` rows each — the workaround
-    for the remote-compile helper's gridded-pallas crash (every call below
-    has grid (1,)). M is static under jit, so the slicing unrolls at trace
-    time; XLA still overlaps the per-slice kernels."""
+    """Apply the fused block to an arbitrary-M batch via ``lax.map`` over
+    ``tile_m``-row tiles — the workaround for the remote-compile helper's
+    gridded-pallas crash (the mapped call has grid (1,)). The kernel is
+    traced ONCE regardless of M (an unrolled host-side slice loop was
+    measured to explode compile time at production batches: ~1000 call
+    instances for HSIMAE-B at batch 2048). M is padded to a tile multiple
+    with zero rows (LayerNorm of zeros is finite; padded rows are dropped)."""
     m = x.shape[0]
     if m <= tile_m:
         return fused_encoder_block(x, params, num_heads, tile_m)
-    outs = []
-    for i in range(0, m - tile_m + 1, tile_m):
-        outs.append(
-            fused_encoder_block(x[i : i + tile_m], params, num_heads, tile_m)
-        )
-    rem = m % tile_m
-    if rem:
-        outs.append(fused_encoder_block(x[m - rem :], params, num_heads, tile_m))
-    return jnp.concatenate(outs, axis=0)
+    n_tiles = -(-m // tile_m)
+    pad = n_tiles * tile_m - m
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], 0)
+    tiles = x.reshape(n_tiles, tile_m, *x.shape[1:])
+    out = jax.lax.map(
+        lambda t: fused_encoder_block(t, params, num_heads, tile_m), tiles
+    )
+    out = out.reshape(n_tiles * tile_m, *x.shape[1:])
+    return out[:m] if pad else out
