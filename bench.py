@@ -112,7 +112,9 @@ def main():
     t_setup = time.perf_counter()
     for i in range(WARMUP_STEPS):
         state, loss = one_step(state, i)
-        jax.block_until_ready(loss)  # force both compiles inside warmup
+        float(loss)  # value fetch = true completion (block_until_ready on
+        # this tunneled runtime returns before device completion — measured:
+        # it reported a physically impossible 5.8M patches/s)
     t_warm = time.perf_counter()
     print(f"# warmup(+compiles) {t_warm - t_setup:.1f}s", file=sys.stderr)
 
@@ -127,7 +129,7 @@ def main():
     for _ in range(3):
         state, loss = one_step(state, step_i)
         step_i += 1
-    jax.block_until_ready(loss)
+    float(loss)
     probe = (time.perf_counter() - t0) / 3
     throttled = probe > 0.05
     print(f"# probe {probe * 1e3:.1f} ms/step -> "
@@ -139,7 +141,7 @@ def main():
         for _ in range(msteps):
             state, loss = one_step(state, step_i)
             step_i += 1
-        jax.block_until_ready(loss)
+        float(loss)  # hard completion barrier
         best_dt = min(best_dt, time.perf_counter() - t0)
     pps_eager = msteps * BATCH / best_dt
     print(f"# eager loop: {pps_eager:,.0f} patches/s", file=sys.stderr)
@@ -158,7 +160,7 @@ def main():
 
     for i in range(FUSED_WARMUP):
         state, loss = one_chunk(state, i)
-        jax.block_until_ready(loss)
+        float(loss)
     best_dt = float("inf")
     ci = FUSED_WARMUP
     for _ in range(WINDOWS):
@@ -166,7 +168,7 @@ def main():
         for _ in range(FUSED_CHUNKS):
             state, loss = one_chunk(state, ci)
             ci += 1
-        jax.block_until_ready(loss)
+        float(loss)  # hard completion barrier
         best_dt = min(best_dt, time.perf_counter() - t0)
     pps_fused = FUSED_CHUNKS * FUSED_K * BATCH / best_dt
     print(f"# fused K={FUSED_K}: {pps_fused:,.0f} patches/s", file=sys.stderr)

@@ -28,14 +28,14 @@ def probe_dispatch_ms(n: int = 8) -> float:
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda x: x @ x + 1.0)
+    f = jax.jit(lambda x: (x @ x).sum())
     x = jnp.ones((512, 512), jnp.float32)
     for _ in range(3):  # compiles (the axon runtime compiles twice)
-        f(x).block_until_ready()
+        float(f(x))
     t0 = time.perf_counter()
     for _ in range(n):
-        y = f(x)
-    y.block_until_ready()
+        y = float(f(x))  # value fetch = true completion; block_until_ready
+        # on this tunneled runtime returns before device completion
     return (time.perf_counter() - t0) / n * 1e3
 
 
