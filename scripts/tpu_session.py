@@ -39,8 +39,15 @@ def probe_dispatch_ms(n: int = 8) -> float:
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def ensure_fast_session(max_tries: int = 6, threshold_ms: float = 20.0) -> bool:
-    """Returns True when the current process has a fast session."""
+def ensure_fast_session(max_tries: int = 8, threshold_ms: float = 20.0,
+                        sleep_s: float = 75.0) -> bool:
+    """Returns True when the current process has a fast session.
+
+    Mode draws are time-correlated (observed streaks of tens of minutes),
+    so retries sleep ``sleep_s`` before re-exec'ing rather than hammering.
+    After ``max_tries`` the process continues throttled — correctness is
+    unaffected, only wall-clock.
+    """
     ms = probe_dispatch_ms()
     tries = int(os.environ.get(_ENV, "0"))
     fast = ms < threshold_ms
@@ -48,6 +55,7 @@ def ensure_fast_session(max_tries: int = 6, threshold_ms: float = 20.0) -> bool:
           f"({'fast' if fast else 'throttled'}, try {tries})", flush=True)
     if fast or tries >= max_tries:
         return fast
+    time.sleep(sleep_s)
     env = dict(os.environ)
     env[_ENV] = str(tries + 1)
     # replace this process with a fresh attempt (new session, new mode draw)
