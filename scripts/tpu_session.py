@@ -39,7 +39,7 @@ def probe_dispatch_ms(n: int = 8) -> float:
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def ensure_fast_session(max_tries: int = 8, threshold_ms: float = 20.0,
+def ensure_fast_session(max_tries: int = 8, threshold_ms: float = 40.0,
                         sleep_s: float = 75.0) -> bool:
     """Returns True when the current process has a fast session.
 
