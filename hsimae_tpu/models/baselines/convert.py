@@ -166,6 +166,55 @@ def convert_ssrn(sd: dict) -> dict:
     return t.variables()
 
 
+def convert_dbda(sd: dict) -> dict:
+    """`/root/reference/Compared_Methods/DBDA.py:100-218` -> zoo ``DBDA``."""
+    t = _Tree()
+    for i in (11, 12, 13, 14, 15):
+        t.conv(sd, f"conv{i}", f"conv{i}")
+    for i in (11, 12, 13, 14):
+        t.bn(sd, f"batch_norm{i}.0", f"bn{i}")
+    for i in (21, 22, 23, 24):
+        t.conv(sd, f"conv{i}", f"conv{i}")
+    for i in (21, 22, 23):
+        t.bn(sd, f"batch_norm{i}.0", f"bn{i}")
+    t.raw(sd["attention_spectral.gamma"], "cam", "gamma")
+    t.raw(sd["attention_spatial.gamma"], "pam", "gamma")
+    t.conv(sd, "attention_spatial.query_conv", "pam", "query")
+    t.conv(sd, "attention_spatial.key_conv", "pam", "key")
+    t.conv(sd, "attention_spatial.value_conv", "pam", "value")
+    t.linear(sd, "full_connection.1", "fc")
+    return t.variables()
+
+
+def convert_fdssc(sd: dict) -> dict:
+    """`/root/reference/Compared_Methods/FDSSC.py:134-252` (``FDSSC_f``, the
+    variant the reference harness runs) -> zoo ``FDSSC``.
+
+    The Conv1d spectral stack maps to (1,1,k) 3-D kernels and the Conv2d
+    spatial stack to (3,3,1) kernels (conv6's 200 input channels fold into
+    the spectral axis, so its kernel becomes (3,3,200) with 1 feature).
+    PReLU's torch weight [1] reshapes to flax's scalar ``negative_slope``.
+    """
+    t = _Tree()
+    for i in (1, 2, 3, 4, 5):  # Conv1d [out, in, k] -> [1, 1, k, in, out]
+        w = conv_kernel(sd[f"conv{i}.weight"])  # [k, in, out]
+        t.params[(f"conv{i}", "kernel")] = w.reshape(1, 1, *w.shape)
+        t.params[(f"conv{i}", "bias")] = _np(sd[f"conv{i}.bias"])
+    w = conv_kernel(sd["conv6.weight"])  # [3, 3, 200, 24]
+    t.params[("conv6", "kernel")] = w.reshape(3, 3, w.shape[2], 1, w.shape[3])
+    t.params[("conv6", "bias")] = _np(sd["conv6.bias"])
+    for i in (7, 8, 9):  # Conv2d [out, in, 3, 3] -> [3, 3, 1, in, out]
+        w = conv_kernel(sd[f"conv{i}.weight"])  # [3, 3, in, out]
+        t.params[(f"conv{i}", "kernel")] = w.reshape(3, 3, 1, *w.shape[2:])
+        t.params[(f"conv{i}", "bias")] = _np(sd[f"conv{i}.bias"])
+    for i in range(1, 10):
+        t.bn(sd, f"batch_norm{i}.0", f"bn{i}")
+        t.params[(f"prelu{i}", "negative_slope")] = _np(
+            sd[f"batch_norm{i}.1.weight"]).reshape(())
+    t.linear(sd, "full_connection.1", "fc")
+    return t.variables()
+
+
 def _spectral_attention(t: _Tree, sd: dict, tname: str, *fpath: str):
     t.linear(sd, f"{tname}.SharedMLP.0", *fpath, "fc1")
     t.linear(sd, f"{tname}.SharedMLP.2", *fpath, "fc2")

@@ -50,11 +50,12 @@ class FDSSC(nn.Module):
 
         k3d = math.ceil((self.bands - 6) / 2)
         y = nn.Conv(200, (1, 1, k3d), padding="VALID", name="conv5")(y)
-        # features (200) become the spectral axis with feature dim 1
+        # BN(200)+PReLU BEFORE the features fold into the spectral axis —
+        # the reference normalizes the 200 conv5 channels (`FDSSC.py:168-171,
+        # 227-231`), not the folded axis
+        y = act(5)(_bn(train, "bn5")(y))
         bb, h, w, s, c = y.shape
         y = y.reshape(bb, h, w, s * c, 1)
-
-        y = act(5)(_bn(train, "bn5")(y))
         x7 = nn.Conv(24, (3, 3, s * c), padding="VALID", name="conv6")(y)
         y = act(6)(_bn(train, "bn6")(x7))
         x8 = nn.Conv(12, (3, 3, 1), padding=((1, 1), (1, 1), (0, 0)), name="conv7")(y)

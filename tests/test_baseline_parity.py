@@ -93,6 +93,24 @@ def test_ssrn_logits_match_reference():
                          bands=30, ps=7)
 
 
+def test_dbda_logits_match_reference():
+    from Compared_Methods.DBDA import DBDA as RefDBDA
+
+    tm = RefDBDA(30, 6)
+    jm = zoo.DBDA(bands=30, num_classes=6)
+    _assert_logits_match(tm, jm, cvt.convert_dbda(tm.state_dict()),
+                         bands=30, ps=9)
+
+
+def test_fdssc_logits_match_reference():
+    from Compared_Methods.FDSSC import FDSSC_f
+
+    tm = FDSSC_f(30, 6)
+    jm = zoo.FDSSC(bands=30, num_classes=6)
+    _assert_logits_match(tm, jm, cvt.convert_fdssc(tm.state_dict()),
+                         bands=30, ps=9)
+
+
 def test_rssan_logits_match_reference():
     from Compared_Methods.RSSAN import RSSAN as RefRSSAN
 
