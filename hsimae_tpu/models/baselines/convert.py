@@ -215,6 +215,95 @@ def convert_fdssc(sd: dict) -> dict:
     return t.variables()
 
 
+def convert_hybridformer(sd: dict, patch_sizes=(3, 5)) -> dict:
+    """`/root/reference/Compared_Methods/HybridFormer.py:185-227` -> zoo
+    ``HybridFormer``. Unused reference parameters (per-branch cls_token, the
+    patchify DEPTHWISECONV's point_conv, spatial_norm/spectral_norm) have no
+    flax counterpart and are skipped."""
+    t = _Tree()
+    for i, c in enumerate(("conv1", "conv2", "conv3", "out_conv"), start=1):
+        t.conv(sd, f"ournet.{c}.0", "ournet", c if c == "out_conv" else f"conv{i}")
+        t.bn(sd, f"ournet.{c}.1", "ournet", f"bn{i}")
+    t.conv(sd, "conv4", "conv4")
+    depth = 1 + max(
+        int(k.split(".")[4]) for k in sd if ".transformer.layers." in k
+    )
+    for i, ps in enumerate(patch_sizes):
+        sub = f"sub_{ps}"
+        t.conv(sd, f"net.{i}.to_patch_embedding.0.depth_conv", sub, "patch_dw")
+        t.raw(sd[f"net.{i}.pos_embedding"], sub, "pos_embedding")
+        for j in range(depth):
+            p = f"net.{i}.transformer.layers.{j}"
+            t.ln(sd, f"{p}.0.norm", sub, f"norm1_{j}")
+            a = (sub, f"attn_{j}")
+            t.linear(sd, f"{p}.0.fn.to_qkv", *a, "qkv")
+            t.linear(sd, f"{p}.0.fn.to_out.0", *a, "proj")
+            t.conv(sd, f"{p}.0.fn.spatial_conv", *a, "spatial_conv")
+            t.conv(sd, f"{p}.0.fn.spectral_conv", *a, "spectral_conv")
+            t.linear(sd, f"{p}.0.fn.to_qkv_spec", *a, "qkv_spec")
+            t.ln(sd, f"{p}.1.norm", sub, f"norm2_{j}")
+            f = (sub, f"ffn_{j}")
+            t.conv(sd, f"{p}.1.fn.net.0.depth_conv", *f, "dw")
+            t.conv(sd, f"{p}.1.fn.net.0.point_conv", *f, "pw")
+            t.bn(sd, f"{p}.1.fn.net.1", *f, "bn")
+            t.conv(sd, f"{p}.1.fn.net.2", *f, "fc1")
+            t.conv(sd, f"{p}.1.fn.net.4", *f, "fc2")
+        t.ln(sd, f"mlp_head.{i}.0", f"head_norm_{ps}")
+        t.linear(sd, f"mlp_head.{i}.1", f"head_{ps}")
+    return t.variables()
+
+
+def _chan_ln(t: _Tree, sd: dict, tname: str, *fpath: str):
+    """ChanLayerNorm g/b [1, C, 1, 1] -> LayerNorm scale/bias [C]
+    (`GSCViT.py:77-88`; same biased-variance math, channels-last here)."""
+    t.params[(*fpath, "scale")] = _np(sd[f"{tname}.g"]).reshape(-1)
+    t.params[(*fpath, "bias")] = _np(sd[f"{tname}.b"]).reshape(-1)
+
+
+def _conv1d_as_dense(t: _Tree, sd: dict, tname: str, *fpath: str):
+    """Conv1d(k=1) over channels ≡ Dense on channels-last tokens."""
+    t.params[(*fpath, "kernel")] = _np(sd[f"{tname}.weight"])[:, :, 0].T
+    if f"{tname}.bias" in sd:
+        t.params[(*fpath, "bias")] = _np(sd[f"{tname}.bias"])
+
+
+def convert_gscvit(sd: dict) -> dict:
+    """`/root/reference/Compared_Methods/GSCViT.py:248-444` -> zoo ``GSCViT``.
+    ``conv_last`` is a dead reference parameter (never called) — skipped."""
+    t = _Tree()
+    t.conv(sd, "sc.conv", "sc_conv")
+    t.bn(sd, "sc.bn", "sc_bn")
+    t.bn(sd, "bn_1", "bn_1")
+    stages = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("layers_trans.")
+    )
+    for i in range(stages):
+        s = f"layers_trans.{i}"
+        t.conv(sd, f"{s}.0.gpwc", f"gsc_{i}", "gpwc")
+        t.conv(sd, f"{s}.0.gc", f"gsc_{i}", "gc")
+        t.bn(sd, f"{s}.0.bn", f"gsc_{i}", "bn")
+        depth = 1 + max(
+            int(k.split(".")[4]) for k in sd
+            if k.startswith(f"{s}.1.layers.")
+        )
+        for j in range(depth):
+            p = f"{s}.1.layers.{j}"
+            _chan_ln(t, sd, f"{p}.norm", f"prenorm_{i}_{j}")
+            g = f"gssa_{i}_{j}"
+            _conv1d_as_dense(t, sd, f"{p}.fn.to_qkv", g, "to_qkv")
+            t.raw(sd[f"{p}.fn.group_tokens"], g, "group_token")
+            t.ln(sd, f"{p}.fn.group_tokens_to_qk.0", g, "gt_norm")
+            _conv1d_as_dense(t, sd, f"{p}.fn.group_tokens_to_qk.3", g, "gt_qk")
+            t.conv(sd, f"{p}.fn.to_out.0", g, "to_out")
+        if f"{s}.1.norm.g" in sd:  # norm_output only on non-last stages
+            _chan_ln(t, sd, f"{s}.1.norm", f"postnorm_{i}")
+        t.bn(sd, f"{s}.2", f"stage_bn_{i}")
+        t.conv(sd, f"{s}.4", f"pw_{i}")
+    t.ln(sd, "mlp_head.1", "head_norm")
+    t.linear(sd, "mlp_head.2", "head")
+    return t.variables()
+
+
 def _spectral_attention(t: _Tree, sd: dict, tname: str, *fpath: str):
     t.linear(sd, f"{tname}.SharedMLP.0", *fpath, "fc1")
     t.linear(sd, f"{tname}.SharedMLP.2", *fpath, "fc2")

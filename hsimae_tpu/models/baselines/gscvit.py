@@ -128,7 +128,10 @@ class GSCViT(nn.Module):
                 z = nn.LayerNorm(epsilon=1e-5, name=f"prenorm_{i}_{j}")(x)
                 x = GSSA(dout, self.heads[i], 16, self.group_spatial_size[i],
                          self.dropout, name=f"gssa_{i}_{j}")(z, train)
-            if i != n_stages - 1:
+            # reference quirk: is_last compares against len(depth) (3) while
+            # zip(dims[:-1], dims[1:]) yields only 2 stages, so norm_output
+            # is True for EVERY stage actually built (`GSCViT.py:255,264-275`)
+            if i != len(self.depth) - 1:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"postnorm_{i}")(x)
             x = nn.Conv(dout, (1, 1), name=f"pw_{i}")(x) + y
             x = nn.relu(_bn(train, f"stage_bn_{i}")(x))

@@ -54,6 +54,8 @@ class ConvFFN(nn.Module):
     def __call__(self, x, train: bool = False):
         b, n, c = x.shape
         w = int(math.sqrt(n))
+        # tokens are column-major (t = col*S + row, see SubNet), so this grid
+        # has axes (col, row) — exactly the reference's 'b (w h) c -> b c w h'
         y = x.reshape(b, w, w, c)
         y = nn.Conv(c, (3, 3), padding=1, feature_group_count=c, name="dw")(y)
         y = nn.Conv(256, (1, 1), name="pw")(y)
@@ -115,7 +117,11 @@ class SubNet(nn.Module):
                     strides=(self.patch, self.patch), padding="VALID",
                     feature_group_count=self.dim, name="patch_dw")(img)
         b = y.shape[0]
-        y = y.reshape(b, -1, self.dim)
+        # column-major token flatten (t = col*S + row), matching the
+        # reference's `Rearrange('b c w h -> b (h w) c')` (`:171-174`) so the
+        # pos embedding, the 3x3 conv over attention maps, and the ConvFFN
+        # grid all see the reference's token adjacency
+        y = jnp.swapaxes(y, 1, 2).reshape(b, -1, self.dim)
         n = y.shape[1]
         pos = self.param("pos_embedding", nn.initializers.zeros,
                          (1, self.num_patches + 1, self.dim))

@@ -111,6 +111,33 @@ def test_fdssc_logits_match_reference():
                          bands=30, ps=9)
 
 
+def test_hybridformer_logits_match_reference():
+    from Compared_Methods.HybridFormer import HybridFormer as RefHF
+
+    # harness config shape (`Compared_Experiment.py:357-366`), 30 bands
+    tm = RefHF(image_size=15, patch_size=(3, 5), num_classes=6, dim=100,
+               depth=2, heads=4, mlp_dim=2048, channels=30,
+               dropout=0.2, emb_dropout=0.2)
+    jm = zoo.HybridFormer(image_size=15, patch_sizes=(3, 5), num_classes=6,
+                          dim=100, depth=2, heads=4, dim_head=64, channels=30,
+                          dropout=0.2, emb_dropout=0.2)
+    _assert_logits_match(tm, jm, cvt.convert_hybridformer(tm.state_dict()),
+                         bands=30, ps=15)
+
+
+def test_gscvit_logits_match_reference():
+    from Compared_Methods.GSCViT import GSCViT as RefGSCViT
+
+    tm = RefGSCViT(num_classes=6, channels=32, heads=(1, 1, 1), depth=(1, 1, 1),
+                   group_spatial_size=[4, 4, 4], dropout=0.1, padding=[1, 1, 1],
+                   dims=(256, 128, 64), num_groups=[16, 16, 16])
+    jm = zoo.GSCViT(num_classes=6, channels=32, heads=(1, 1, 1), depth=(1, 1, 1),
+                    group_spatial_size=(4, 4, 4), dropout=0.1, padding=(1, 1, 1),
+                    dims=(256, 128, 64), num_groups=(16, 16, 16))
+    _assert_logits_match(tm, jm, cvt.convert_gscvit(tm.state_dict()),
+                         bands=32, ps=8)
+
+
 def test_rssan_logits_match_reference():
     from Compared_Methods.RSSAN import RSSAN as RefRSSAN
 
