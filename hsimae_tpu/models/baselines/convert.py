@@ -304,6 +304,106 @@ def convert_gscvit(sd: dict) -> dict:
     return t.variables()
 
 
+def _dynamic_conv3d(t: _Tree, sd: dict, tname: str, fname: str):
+    """``Dynamic_conv3d`` (`HiT.py:82-126`): kernel-attention Dense pair,
+    nattention3d local gate, and the K-kernel bank
+    [K, out, in, kd, kh, kw] -> [K, kd, kh, kw, in, out]."""
+    for fc in ("fc1", "fc2"):  # Conv3d 1x1x1, no bias == Dense
+        t.params[(fname, fc, "kernel")] = _np(
+            sd[f"{tname}.attention.{fc}.weight"])[:, :, 0, 0, 0].T
+    t.conv(sd, f"{tname}.local.a", fname, "a")
+    t.bn(sd, f"{tname}.local.bn", fname, "bn")
+    t.conv(sd, f"{tname}.local.b", fname, "b")
+    t.params[(fname, "weight")] = _np(
+        sd[f"{tname}.weight"]).transpose(0, 3, 4, 5, 2, 1)
+
+
+def convert_hit(sd: dict, layers, transitions, embed_dims) -> dict:
+    """`/root/reference/Compared_Methods/HiT.py:312-384` -> zoo ``HiT``
+    (ConvPermuteMLP mixer, the reference default). Dead reference parameters
+    (``conv_cls_head``, the dynamic convs' unused bias) are skipped."""
+    t = _Tree()
+    _dynamic_conv3d(t, sd, "patch_embed.proj1_1", "proj1_1")
+    _dynamic_conv3d(t, sd, "patch_embed.proj2_1", "proj2_1")
+    n = 0  # ref network index: stages and Downsamples interleaved
+    for i, n_blocks in enumerate(layers):
+        for j in range(n_blocks):
+            p = f"network.{n}.{j}"
+            blk = f"block_{i}_{j}"
+            t.ln(sd, f"{p}.norm1", blk, "norm1")
+            t.conv(sd, f"{p}.attn.mlp_c.0", blk, "attn", "mlp_c")
+            t.conv(sd, f"{p}.attn.mlp_h.0", blk, "attn", "mlp_h")
+            t.conv(sd, f"{p}.attn.mlp_w", blk, "attn", "mlp_w")
+            t.linear(sd, f"{p}.attn.reweight.fc1", blk, "attn", "reweight", "Dense_0")
+            t.linear(sd, f"{p}.attn.reweight.fc2", blk, "attn", "reweight", "Dense_1")
+            t.linear(sd, f"{p}.attn.proj", blk, "attn", "proj")
+            t.ln(sd, f"{p}.norm2", blk, "norm2")
+            t.linear(sd, f"{p}.mlp.fc1", blk, "mlp", "Dense_0")
+            t.linear(sd, f"{p}.mlp.fc2", blk, "mlp", "Dense_1")
+        n += 1
+        if i < len(layers) - 1 and (
+            transitions[i] or embed_dims[i] != embed_dims[i + 1]
+        ):
+            t.conv(sd, f"network.{n}.proj", f"downsample_{i}")
+            n += 1
+    t.ln(sd, "norm", "norm")
+    t.linear(sd, "head", "head")
+    return t.variables()
+
+
+def convert_dctn(sd: dict, layers, transitions, embed_dims) -> dict:
+    """`/root/reference/Compared_Methods/DCTN.py:244-348` -> zoo ``DCTN``.
+    Dead reference parameters (EISA's unused ``conv``, the model-level
+    ``gamma1``/``gamma3``/``weights``/``conv_cls_head``) are skipped."""
+    t = _Tree()
+    pe = "patch_embed"
+    t.conv(sd, f"{pe}.proj", pe, "proj")
+    t.conv(sd, f"{pe}.proj2", pe, "proj2")
+    t.bn(sd, f"{pe}.bn", pe, "bn")
+    t.conv(sd, f"{pe}.conv_1", pe, "conv_1")
+    t.bn(sd, f"{pe}.bn_1", pe, "bn_1")
+    for m in ("conv1", "conv2", "conv3"):
+        t.conv(sd, f"{pe}.add2D.{m}", pe, "add2d", m)
+        t.bn(sd, f"{pe}.add2D.{m.replace('conv', 'bn')}", pe, "add2d",
+             m.replace("conv", "bn"))
+    t.conv(sd, f"{pe}.down_sample", pe, "down_sample")
+    t.raw(sd[f"{pe}.weights"], pe, "weights")
+
+    n = 0
+    for i, n_blocks in enumerate(layers):
+        for j in range(n_blocks):
+            p = f"network.{n}.{j}"
+            blk = f"block_{i}_{j}"
+            t.ln(sd, f"{p}.norm1", blk, "norm1")  # GroupNorm w/b [C]
+            a = (blk, "attn")
+            for m in ("mlp_h", "mlp_w", "mlp_s", "convH", "convH2", "mix_hw",
+                      "mix_hw2", "mix_hws", "mix_hws2", "mix_all"):
+                t.conv(sd, f"{p}.attn.{m}", *a, m)
+            t.linear(sd, f"{p}.attn.linearH", *a, "linearH")
+            t.linear(sd, f"{p}.attn.linearW", *a, "linearW")
+            t.linear(sd, f"{p}.attn.proj", *a, "proj")
+            t.raw(sd[f"{p}.attn.weights"], *a, "weights")
+            t.ln(sd, f"{p}.norm2", blk, "norm2")
+            t.conv(sd, f"{p}.mlp.Conv1", blk, "mlp", "conv1")
+            t.conv(sd, f"{p}.mlp.proj1", blk, "mlp", "proj1")
+            t.conv(sd, f"{p}.mlp.Conv2", blk, "mlp", "conv2")
+        n += 1
+        if i < len(layers) - 1 and (
+            transitions[i] or embed_dims[i] != embed_dims[i + 1]
+        ):
+            t.conv(sd, f"network.{n}.proj", f"downsample_{i}")
+            n += 1
+
+    for m in ("conv2", "conv2_2", "conv3", "conv3_2", "conv4", "conv4_2"):
+        t.conv(sd, m, m)
+        t.bn(sd, f"bn{m[4:]}", f"bn{m[4:]}")
+    t.conv(sd, "down_sample.proj", "down_sample")
+    t.conv(sd, "ConvEnd", "conv_end")
+    t.ln(sd, "norm", "norm")
+    t.linear(sd, "head", "head")
+    return t.variables()
+
+
 def _spectral_attention(t: _Tree, sd: dict, tname: str, *fpath: str):
     t.linear(sd, f"{tname}.SharedMLP.0", *fpath, "fc1")
     t.linear(sd, f"{tname}.SharedMLP.2", *fpath, "fc2")

@@ -100,7 +100,11 @@ class MDCP(nn.Module):
         y = adaptive_avg_pool(y, (1, 2, 3), (self.pool_depth, 15, 15))
         y = _bn(train, "bn")(y)
         bb, s, hh, ww, cc = y.shape
-        y = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(bb, hh, ww, s * cc)
+        # c-major fold: the reference's reshape(B, D*H, W, C) names the
+        # CHANNEL axis "D" ([B, 8, 40, 15, 15]), so feature = channel*40 + d
+        # — which is also where embed_dim 320 = 8*40 comes from
+        # (`DCTN.py:166-170`)
+        y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(bb, hh, ww, cc * s)
 
         # weighted fusion; align conv path to the pooled grid (`:168-172`)
         x1 = adaptive_avg_pool(x1, (1, 2), (hh, ww))
@@ -137,35 +141,42 @@ class EISA(nn.Module):
     def __call__(self, x, train: bool = False):
         add = x
         b, hh, ww, c = x.shape
-        conv1d = lambda feats, k, name: nn.Conv(feats, (k,), padding=k // 2, name=name)
+        # bias flags mirror the reference's qkv_bias=False plumbing: layers
+        # taking `bias=qkv_bias` are bias-free, the *2 convs keep their
+        # default bias (`DCTN.py:33-61,249`)
+        conv1d = lambda feats, k, name, bias: nn.Conv(
+            feats, (k,), padding=k // 2, use_bias=bias, name=name)
 
         # Height branch
-        hmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_h")(x), approximate=False)  # [B,H,W,C]
+        hmap = nn.gelu(nn.Conv(c, (1, 1), use_bias=False, name="mlp_h")(x),
+                       approximate=False)  # [B,H,W,C]
         h2 = hmap.mean(axis=(2, 3))[:, :, None]  # [B, H, 1] pooled over W,C
-        h3 = nn.sigmoid(conv1d(1, 1, "convH")(h2))
-        h3 = nn.sigmoid(conv1d(1, 3, "convH2")(h3))  # [B, H, 1]
+        h3 = nn.sigmoid(conv1d(1, 1, "convH", False)(h2))
+        h3 = nn.sigmoid(conv1d(1, 3, "convH2", True)(h3))  # [B, H, 1]
         h_out = hmap * h3[:, :, None, :]  # scale per row
 
         # Width branch (gate mixes H and W stats)
-        wmap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_w")(x), approximate=False)
+        wmap = nn.gelu(nn.Conv(c, (1, 1), use_bias=False, name="mlp_w")(x),
+                       approximate=False)
         w2 = wmap.mean(axis=(1, 3))[:, :, None]  # [B, W, 1]
         mix = jnp.concatenate([h2, w2], axis=-1)  # [B, H, 2] (H == W)
-        mix = nn.sigmoid(conv1d(1, 1, "mix_hw")(mix))
-        mix = nn.sigmoid(conv1d(1, 3, "mix_hw2")(mix))
+        mix = nn.sigmoid(conv1d(1, 1, "mix_hw", False)(mix))
+        mix = nn.sigmoid(conv1d(1, 3, "mix_hw2", True)(mix))
         w_out = wmap * mix[:, None, :, :]  # scale per column
 
         # Spectral branch (gate mixes H, W and channel stats)
-        smap = nn.gelu(nn.Conv(c, (1, 1), name="mlp_s")(x), approximate=False)
+        smap = nn.gelu(nn.Conv(c, (1, 1), use_bias=False, name="mlp_s")(x),
+                       approximate=False)
         s1 = smap.mean(axis=(1, 2))[:, :, None]  # [B, C, 1]
         hproj = nn.Dense(c, name="linearH")(h2[:, :, 0])[:, :, None]  # [B,C,1] via [B,H]->C
         wproj = nn.Dense(c, name="linearW")(w2[:, :, 0])[:, :, None]
         mixs = jnp.concatenate([hproj, wproj, s1], axis=-1)  # [B, C, 3]
-        mixs = nn.sigmoid(conv1d(1, 1, "mix_hws")(mixs))
-        mixs = nn.sigmoid(conv1d(1, 3, "mix_hws2")(mixs))  # [B, C, 1]
+        mixs = nn.sigmoid(conv1d(1, 1, "mix_hws", False)(mixs))
+        mixs = nn.sigmoid(conv1d(1, 3, "mix_hws2", True)(mixs))  # [B, C, 1]
         s_out = smap * mixs[:, None, None, :, 0]
 
         z = jnp.concatenate([h_out, w_out, s_out], axis=-1)
-        z = nn.Conv(self.dim, (1, 1), name="mix_all")(z)
+        z = nn.Conv(self.dim, (1, 1), use_bias=False, name="mix_all")(z)
         z = nn.Dense(self.dim, name="proj")(z)
         wts = self.param("weights", nn.initializers.ones, (2,))
         return z * wts[0] + add * wts[1]
@@ -180,10 +191,12 @@ class PermutatorBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         groups = 8 if self.dim == 440 else 16
-        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm1")(x)
-        x = x + EISA(self.dim, self.spatial, name="attn")(y, train)
-        y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm2")(x)
-        return x + FFNConv(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(y)
+        # reference quirk (`DCTN.py:215-223`): the block REPLACES x with the
+        # normed tensor, so the residual base is norm(x), not x
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm1")(x)
+        x = x + EISA(self.dim, self.spatial, name="attn")(x, train)
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm2")(x)
+        return x + FFNConv(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(x)
 
 
 class DCTN(nn.Module):

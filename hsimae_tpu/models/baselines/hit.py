@@ -98,16 +98,23 @@ class ConvPermuteMLP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, hh, ww, c = x.shape
-        h = nn.Conv(c, (1, 3), padding=((0, 0), (1, 1)),
+        # bias-free: HiT's constructor default qkv_bias=False reaches these
+        # convs (`HiT.py:203-214,319`)
+        h = nn.Conv(c, (1, 3), padding=((0, 0), (1, 1)), use_bias=False,
                     feature_group_count=c, name="mlp_c")(x)
-        w = nn.Conv(c, (3, 1), padding=((1, 1), (0, 0)),
+        w = nn.Conv(c, (3, 1), padding=((1, 1), (0, 0)), use_bias=False,
                     feature_group_count=c, name="mlp_h")(x)
-        cc = nn.Conv(c, (1, 1), name="mlp_w")(x)
+        cc = nn.Conv(c, (1, 1), use_bias=False, name="mlp_w")(x)
         a = (h + w + cc).mean(axis=(1, 2))  # [B, C]
         a = Mlp(c, c // 4, c * 3, name="reweight")(a, train)
         a = jax.nn.softmax(a.reshape(b, c, 3), axis=-1)
         a = a.transpose(2, 0, 1)[:, :, None, None, :]
         z = h * a[0] + w * a[1] + cc * a[2]
+        # reference quirk (`HiT.py:231-233`): the branch sum lives in
+        # channel-first layout and is RESHAPED (not permuted) back to
+        # [B, H, W, C] — a memory scramble that feeds proj a mix of axes.
+        # Preserved for parity with the published model.
+        z = z.transpose(0, 3, 1, 2).reshape(b, hh, ww, c)
         return nn.Dense(self.dim, name="proj")(z)
 
 
@@ -171,8 +178,11 @@ class HiT(nn.Module):
         z = DynamicConv3d(1, 4, (3, 3, 3), (2, 2, 2), name="proj1_1")(z, train)
         z = DynamicConv3d(4, 8, (3, 3, 3), (2, 1, 1), name="proj2_1")(z, train)
         b, s, hh, ww, c = z.shape
-        # (C, D) fold into the token feature dim (`HiT.py:278-280` reshape)
-        z = jnp.transpose(z, (0, 2, 3, 1, 4)).reshape(b, hh, ww, s * c)
+        # (C, D) fold into the token feature dim, c-major: the reference's
+        # reshape(B, D*H, W, C) names the CHANNEL axis "D" (its conv output
+        # is [B, 8, D', H', W']), so feature index = channel * D' + d
+        # (`HiT.py:278-280,366-369`)
+        z = jnp.transpose(z, (0, 2, 3, 4, 1)).reshape(b, hh, ww, c * s)
         if z.shape[-1] != self.embed_dims[0]:
             z = nn.Dense(self.embed_dims[0], name="embed_proj")(z)
 
