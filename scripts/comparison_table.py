@@ -48,12 +48,20 @@ def main():
             print(f"== {name}: already done, skipping", flush=True)
             continue
         t0 = time.perf_counter()
-        rep = bench_cli.main([
-            "--synthetic", "--synthetic-size", "64", "--synthetic-bands", "103",
-            "--synthetic-classes", "6", "--samples-per-class", "10",
-            "--selection-seeds", "3", "--test-seeds", "5",
-            "--models", name,
-        ])
+        rep = None
+        for attempt in range(3):  # the tunnel's remote compile can drop
+            try:
+                rep = bench_cli.main([
+                    "--synthetic", "--synthetic-size", "64",
+                    "--synthetic-bands", "103", "--synthetic-classes", "6",
+                    "--samples-per-class", "10", "--selection-seeds", "3",
+                    "--test-seeds", "5", "--models", name,
+                ])
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"== {name} attempt {attempt} failed: {e}", flush=True)
+        if rep is None:
+            continue
         done[name] = {**rep[name],
                       "minutes": round((time.perf_counter() - t0) / 60, 1)}
         with open(OUT, "w") as f:

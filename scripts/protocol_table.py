@@ -49,10 +49,26 @@ def main():
     proto = ProtocolConfig(selection_seeds=3, test_seeds=5)
 
     results = {}
+    if os.path.exists("/tmp/protocol_table.json"):
+        with open("/tmp/protocol_table.json") as f:
+            results = {int(k): v for k, v in json.load(f).items()}
     for spc in (5, 10, 15, 20):
+        if spc in results:
+            print(f"== {spc}/class already done, skipping", flush=True)
+            continue
         t0 = time.perf_counter()
-        r = run_protocol(scene, gt, cfg, ft, proto, samples_per_class=spc,
-                         pretrained=pretrained, gwpca=True)
+        r = None
+        for attempt in range(3):  # the tunnel's remote compile can drop
+            try:
+                r = run_protocol(scene, gt, cfg, ft, proto,
+                                 samples_per_class=spc,
+                                 pretrained=pretrained, gwpca=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"== {spc}/class attempt {attempt} failed: {e}",
+                      flush=True)
+        if r is None:
+            continue
         results[spc] = {
             "best_lr": r.best_lr,
             "oa": f"{100 * r.oa_mean:.2f}±{100 * r.oa_std:.2f}",
