@@ -42,5 +42,7 @@ def test_evaluate_parser():
 def test_benchmark_parser():
     a = benchmark_parser().parse_args(["--synthetic", "--models", "SSFTT", "SSRN"])
     assert a.models == ["SSFTT", "SSRN"]
-    assert a.lr_grid == [5e-3, 1e-3, 5e-4, 1e-4]
+    # the baseline harness grid (`Compared_Experiment.py:536`), one decade
+    # below the HSIMAE finetuning grid
+    assert a.lr_grid == [1e-3, 5e-4, 1e-4, 5e-5]
     assert a.selection_seeds == 3 and a.test_seeds == 5
