@@ -205,9 +205,13 @@ def parent():
         except Exception as e:  # noqa: BLE001
             print(f"# attempt {attempt} failed: {e}", file=sys.stderr)
             continue
+        # attempt history goes to BOTH streams: stderr for live runs, stdout
+        # so the driver's recorded tail shows why a throttled round is low
         for l in out.stderr.splitlines():
             if l.startswith("#"):
-                print(f"# attempt {attempt} {l[1:].strip()}", file=sys.stderr)
+                line = f"# attempt {attempt} {l[1:].strip()}"
+                print(line, file=sys.stderr)
+                print(line)
         print(f"# attempt {attempt}: {rec['value']} {rec['unit']}",
               file=sys.stderr)
         if best is None or rec["value"] > best["value"]:
