@@ -89,14 +89,19 @@ def make_optimizer(spec: BaselineSpec, lr0: float):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_steps(model, optimizer: str, weight_decay: float, has_bn: bool):
+def _cached_steps(model, opt_key: tuple, has_bn: bool):
     """One compiled (train_step, eval_step) pair per zoo model config.
 
     flax modules are frozen dataclasses (hashable), and the learning rate is
     an injected hyperparameter mutated per epoch, so the 17 runs of the
     protocol (4-lr x 3-seed selection + 5-seed test) share ONE compilation —
     essential on the TPU runtime, where each train-step compile costs minutes.
+
+    ``opt_key`` is ``BaselineSpec.optimizer_key()`` — the tuple of every
+    field ``make_optimizer`` reads, owned by the spec so the cache key can
+    never drift from the optimizer construction.
     """
+    optimizer, weight_decay = opt_key
     spec_like = BaselineSpec("_", None, 0, 0, optimizer=optimizer,
                              weight_decay=weight_decay)
     tx = make_optimizer(spec_like, 1e-3)
@@ -177,7 +182,7 @@ def train_baseline(
 
     has_bn = bool(batch_stats)
     tx, train_step, eval_step = _cached_steps(
-        model, spec.optimizer, spec.weight_decay, has_bn)
+        model, spec.optimizer_key(), has_bn)
     opt_state = _set_lr(tx.init(params), lr)
 
     key = jax.random.PRNGKey(seed)
@@ -240,8 +245,7 @@ def evaluate_baseline(
     source = ScenePatchSource(scene_p, spec.patch_size)
     has_bn = "batch_stats" in run.variables
     # reuse the training-time compiled eval program (same module hash)
-    _, _, eval_step = _cached_steps(model, spec.optimizer, spec.weight_decay,
-                                    has_bn)
+    _, _, eval_step = _cached_steps(model, spec.optimizer_key(), has_bn)
     bstats = run.variables.get("batch_stats", {})
 
     h, w = scene_p.shape[:2]

@@ -55,6 +55,14 @@ class BaselineSpec:
     norm: Optional[Tuple[float, float]] = (1.0, 0.0)
     center: bool = False
 
+    def optimizer_key(self) -> Tuple:
+        """EVERY spec field ``harness.make_optimizer`` reads — and nothing
+        else. This tuple is the cache key for the compiled train/eval steps
+        (`harness._cached_steps`); if make_optimizer starts consuming another
+        field (momentum, betas, schedule), it MUST be added here or cached
+        steps would silently reuse a stale optimizer across zoo runs."""
+        return (self.optimizer, self.weight_decay)
+
 
 def _ssftt_patch(dataset: str) -> int:
     return 9 if dataset == "Houston2013" else 13

@@ -34,6 +34,14 @@ def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
     return out
 
 
+def uncovered_leaves(target_params, loaded_paths) -> set:
+    """Paths of ``target_params`` leaves NOT covered by a partial restore —
+    i.e. still at their init values after ``partial_restore(target, src)``
+    returned ``loaded_paths``. Callers use this to hard-fail when critical
+    modules (e.g. the classification head) were left at random init."""
+    return set(_flatten(target_params)) - set(loaded_paths)
+
+
 def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> dict:
     tree: dict = {}
     for path, leaf in flat.items():

@@ -44,6 +44,11 @@ from hsimae_tpu.models.masking import (
 )
 from hsimae_tpu.models.pos_embed import sincos_3d
 
+# Param-tree name of the classification-head submodule (the flax attribute
+# set in HSIMAE.setup). Coverage checks (train/evaluate.classify_scene) key
+# on this prefix, so a rename must update exactly this constant.
+CLS_HEAD_NAME = "cls_head"
+
 
 def patchify(imgs: jax.Array, p: int, u: int) -> jax.Array:
     """[N, H, W, bands] -> [N, t*h*w, u*p*p] pixel targets.
@@ -162,6 +167,8 @@ class HSIMAE(nn.Module):
             )
 
         if c.num_classes > 0:
+            # attribute name == CLS_HEAD_NAME (the param-tree prefix callers
+            # key coverage checks on — keep the two in sync)
             self.cls_head = nn.Dense(
                 c.num_classes, kernel_init=ki, bias_init=nn.initializers.zeros,
                 dtype=jnp.float32,
@@ -190,9 +197,16 @@ class HSIMAE(nn.Module):
                 params_from_flax,
             )
 
+            # cast ONCE on entry (not per block): the kernel computes in the
+            # stream dtype, so with an f32 stream and compute_dtype=bf16 the
+            # fused path rounds the residual stream where the flax path would
+            # keep it f32 — a documented divergence bounded by the bf16 case
+            # of test_model_use_pallas_inference_path_matches_default.
+            if x.dtype != self.cfg.compute_dtype:
+                x = x.astype(self.cfg.compute_dtype)
             for blk in blocks:
                 x = fused_block_sliced(
-                    x.astype(self.cfg.compute_dtype),
+                    x,
                     params_from_flax(blk.variables["params"]),
                     self.cfg.num_heads,
                 )

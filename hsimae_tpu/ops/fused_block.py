@@ -203,7 +203,15 @@ def fused_block_sliced(
     traced ONCE regardless of M (an unrolled host-side slice loop was
     measured to explode compile time at production batches: ~1000 call
     instances for HSIMAE-B at batch 2048). M is padded to a tile multiple
-    with zero rows (LayerNorm of zeros is finite; padded rows are dropped)."""
+    with zero rows (LayerNorm of zeros is finite; padded rows are dropped).
+
+    Cost note: ``lax.map`` lowers to a SEQUENTIAL scan over the tiles, so a
+    large-M batch (e.g. the n*t rows of the separable branches at batch 2048)
+    executes tiles serially — potentially slower than the XLA fallback it
+    replaces. This is one reason ``ModelConfig.use_pallas`` defaults to False
+    (the other: the remote Mosaic compile of the gridded kernel never
+    finished on this runtime — RESULTS.md round-2 A/B); benchmark at
+    production batch sizes before enabling the flag on a new runtime."""
     m = x.shape[0]
     if m <= tile_m:
         return fused_encoder_block(x, params, num_heads, tile_m)

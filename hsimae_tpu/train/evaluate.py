@@ -24,9 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hsimae_tpu.config import EvalConfig, ModelConfig
-from hsimae_tpu.checkpoints.io import partial_restore
+from hsimae_tpu.checkpoints.io import partial_restore, uncovered_leaves
 from hsimae_tpu.data.pipeline import ScenePatchSource, batch_indices
-from hsimae_tpu.models.hsimae import HSIMAE, build_hsi_vit, init_model
+from hsimae_tpu.models.hsimae import CLS_HEAD_NAME, HSIMAE, build_hsi_vit, init_model
 from hsimae_tpu.utils.colormap import label_to_colormap, save_colormap
 from hsimae_tpu.utils.metrics import Metrics, classification_metrics
 
@@ -63,10 +63,8 @@ def classify_scene(
     params, loaded, skipped = partial_restore(tgt, params, verbose=False)
     # A wrong --num-classes or mismatched checkpoint would silently leave
     # leaves (worst: cls_head) at random init and produce meaningless metrics.
-    from hsimae_tpu.checkpoints.io import _flatten
-
-    uncovered = set(_flatten(tgt)) - set(loaded)
-    if any(p[0] == "cls_head" for p in uncovered):
+    uncovered = uncovered_leaves(tgt, loaded)
+    if any(p[0] == CLS_HEAD_NAME for p in uncovered):
         raise ValueError(
             "checkpoint does not cover cls_head — wrong num_classes or a "
             f"pretrain-only checkpoint? (loaded {len(loaded)}, "

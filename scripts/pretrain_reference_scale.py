@@ -1,0 +1,88 @@
+"""Reference-scale MAE pretraining: the full HSIHybrid shape on synthetic data.
+
+The reference pretrains HSIMAE on ~4M 9x9x32 patches cut from 15 scenes
+(`/root/reference/README.md:9`; dense step-3 cuts below scene 14, step-9
+after — `Utils/Preprocessing.py:101-110`). The real cubes are unavailable in
+this zero-egress image, so this run reproduces the SCALE exactly with 15
+synthetic 1600x1600x103 scenes, GWPCA'd to 32 bands:
+
+    14 dense scenes x ((1600-9)//3+1)^2 = 281,961 cuts  = 3,947,454
+  +  1 coarse scene x ((1600-9)//9+1)^2 =  31,329 cuts
+  = 3,978,783 patches  (~4M, like the reference corpus)
+
+HSIMAE-B, bf16, batch 2048 (~1943 steps/epoch), periodic resumable
+checkpoints. Phases (argv[1]):
+
+  prepare  — generate + GWPCA the 15 scenes into /tmp/refscale/scenes/
+             (cached; ~5 GB on disk) [host-only, no TPU]
+  train    — run/resume the pretrain (HSIMAE_REFSCALE_EPOCHS, default 3)
+
+The deliberate mid-run kill + resume is driven externally: SIGKILL the train
+phase once a checkpoint exists, re-invoke `train`, and the loop prints
+`[pretrain] resumed from ... at epoch N` (resume is bit-faithful,
+tests/test_resume.py).
+"""
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+SCENE_DIR = "/tmp/refscale/scenes"
+WORKDIR = "/tmp/refscale/pt_b"
+N_SCENES = 15
+SCENE_HW = 1600
+RAW_BANDS = 103
+NC = 32
+
+
+def prepare():
+    os.makedirs(SCENE_DIR, exist_ok=True)
+    sys.path.insert(0, "/root/repo")
+    from hsimae_tpu.data.gwpca import apply_gwpca
+    from hsimae_tpu.data.synthetic import make_synthetic_scene
+
+    for i in range(N_SCENES):
+        path = f"{SCENE_DIR}/scene_{i:02d}.npy"
+        if os.path.exists(path):
+            print(f"[prepare] {path} cached", flush=True)
+            continue
+        t0 = time.perf_counter()
+        scene, _ = make_synthetic_scene(SCENE_HW, SCENE_HW, bands=RAW_BANDS,
+                                        n_classes=8, seed=1000 + i)
+        scene = apply_gwpca(scene, nc=NC)
+        np.save(path, scene.astype(np.float32))
+        print(f"[prepare] scene {i}: {scene.shape} in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def train():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tpu_session import ensure_fast_session
+
+    ensure_fast_session()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    sys.path.insert(0, "/root/repo")
+
+    from hsimae_tpu.cli.pretrain import main
+
+    scenes = sorted(glob.glob(f"{SCENE_DIR}/scene_*.npy"))
+    assert len(scenes) == N_SCENES, f"run `prepare` first ({len(scenes)} scenes)"
+    main([
+        "--scenes", *scenes, "--no-gwpca",
+        "--model", "HSIMAE-B", "--bf16",
+        "--epochs", os.environ.get("HSIMAE_REFSCALE_EPOCHS", "3"),
+        "--batch-size", "2048", "--workdir", WORKDIR,
+        "--coarse-from", "14", "--checkpoint-every", "1000",
+    ])
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "train"
+    {"prepare": prepare, "train": train}[phase]()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hsimae_tpu.models.layers import Block
 from hsimae_tpu.ops.fused_block import BlockParams, fused_encoder_block, params_from_flax
@@ -35,7 +36,14 @@ def test_fused_block_sliced_matches_unsliced():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
-def test_model_use_pallas_inference_path_matches_default():
+@pytest.mark.parametrize("dtype,rtol,atol", [
+    (jnp.float32, 2e-5, 2e-5),
+    # bf16 compute: the fused path rounds the residual stream to bf16 once on
+    # entry while the flax path keeps the f32 stream (documented divergence,
+    # hsimae._run_blocks); bf16 has ~3 decimal digits -> tolerance 5e-2.
+    (jnp.bfloat16, 5e-2, 5e-2),
+], ids=["f32", "bf16"])
+def test_model_use_pallas_inference_path_matches_default(dtype, rtol, atol):
     """cfg.use_pallas routes inference blocks through the fused path (XLA
     fallback off-TPU); logits must match the flax-module path."""
     from hsimae_tpu.config import preset
@@ -43,7 +51,7 @@ def test_model_use_pallas_inference_path_matches_default():
 
     cfg = preset("HSIMAE-S", depth=4, s_depth=2, decoder_depth=1,
                  embed_dim=64, num_heads=4, decoder_dim=32,
-                 decoder_num_heads=4)
+                 decoder_num_heads=4, compute_dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(2), (8, cfg.img_size, cfg.img_size,
                                                   cfg.bands), jnp.float32)
     m0 = build_dual_vit(cfg, 5)
@@ -51,8 +59,9 @@ def test_model_use_pallas_inference_path_matches_default():
     base = m0.apply({"params": params}, x, False, method=HSIMAE.classify)
     m1 = build_dual_vit(cfg.replace(use_pallas=True), 5)
     fused = m1.apply({"params": params}, x, False, method=HSIMAE.classify)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
-                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(base, np.float32),
+                               rtol=rtol, atol=atol)
 
 
 def test_confusion_matrix_op_matches_numpy():
