@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--synthetic-bands", type=int, default=103)
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
+    p.add_argument("--scene-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="resident scene-buffer dtype; bfloat16 halves HBM "
+                   "residency + upload time for reference-scale corpora "
+                   "(patches still normalize/train in f32/compute dtype)")
     # reference defaults (`Model_Pretraining.py:119-134`)
     p.add_argument("--mask-ratio", type=float, default=0.5)
     p.add_argument("--lr", type=float, default=5e-3)
@@ -67,7 +72,12 @@ def main(argv=None):
     scenes = load_pretrain_scenes(args)
     if args.gwpca:
         scenes = [apply_gwpca(s, nc=args.bands) for s in scenes]
-    source = MultiScenePatchSource(scenes, patch_size=args.img_size)
+    import jax.numpy as jnp
+
+    source = MultiScenePatchSource(
+        scenes, patch_size=args.img_size,
+        storage_dtype=jnp.bfloat16 if args.scene_dtype == "bfloat16" else np.float32,
+    )
     index = build_pretrain_cut_index(
         [s.shape for s in scenes], args.img_size,
         ratio=args.ratio, coarse_from=args.coarse_from,

@@ -64,7 +64,9 @@ def gather_multiscene(
     base = jnp.take(bases, sid) + r * w + c  # [B]
     d = jnp.arange(ps, dtype=jnp.int32)
     idx = base[:, None, None] + d[None, :, None] * w[:, None, None] + d[None, None, :]
-    x = _flat_take(flat, idx)  # [B, ps, ps, C]
+    # upcast AFTER the gather: the resident buffer may be bf16 (big corpora)
+    # but patches normalize and train in f32/compute_dtype downstream
+    x = _flat_take(flat, idx).astype(mins.dtype)  # [B, ps, ps, C]
     mn = jnp.take(mins, sid)[:, None, None, None]
     mx = jnp.take(maxs, sid)[:, None, None, None]
     return (x - mn) / (mx - mn)
@@ -122,7 +124,15 @@ class MultiScenePatchSource:
         patch_size: int = 9,
         scene_min: Optional[np.ndarray] = None,
         scene_max: Optional[np.ndarray] = None,
+        storage_dtype=np.float32,
     ):
+        """``storage_dtype=jnp.bfloat16`` halves HBM residency AND the
+        host->device upload time of a big corpus (the 15-scene HSIHybrid-scale
+        buffer is 4.6 GB f32 — measured 300 s through the tunnel, and enough
+        to OOM the multi-tenant chip alongside the bs=2048 train step).
+        Gathered patches are upcast to f32 before normalization either way,
+        so the only precision loss is the 8-bit mantissa of the STORED
+        reflectance values — far below the GWPCA reconstruction error."""
         self.patch_size = patch_size
         c = scenes[0].shape[-1]
         assert all(s.shape[-1] == c for s in scenes)
@@ -135,7 +145,9 @@ class MultiScenePatchSource:
             widths.append(w)
             bases.append(offset)
             offset += h * w
-            flats.append(np.ascontiguousarray(s, dtype=np.float32).reshape(-1, c))
+            # cast per-scene BEFORE concat: halves peak host memory too
+            flats.append(np.ascontiguousarray(s).reshape(-1, c)
+                         .astype(storage_dtype))
         self._flat = jnp.asarray(np.concatenate(flats, axis=0))
         self._widths = jnp.asarray(np.array(widths, dtype=np.int32))
         self._bases = jnp.asarray(np.array(bases, dtype=np.int32))
@@ -146,16 +158,24 @@ class MultiScenePatchSource:
         self._max = jnp.asarray(
             scene_max if scene_max is not None else np.ones(n), dtype=jnp.float32
         )
-        self._gather = jax.jit(self._gather_impl)
-
-    def _gather_impl(self, locs: jax.Array) -> jax.Array:
-        return gather_multiscene(
-            self._flat, self._widths, self._bases, self._min, self._max,
-            locs, self.patch_size,
+        # The scene buffer is an ARGUMENT of the jitted gather, never a
+        # closure capture: a captured device array is embedded in the lowered
+        # program as a constant — at HSIHybrid scale (15 scenes, ~5 GB) that
+        # ships gigabytes into every remote compile and duplicates the buffer
+        # in the executable. Passing it as an argument is free (device arrays
+        # pass by reference).
+        ps = self.patch_size
+        self._gather = jax.jit(
+            lambda flat, widths, bases, mn, mx, locs: gather_multiscene(
+                flat, widths, bases, mn, mx, locs, ps
+            )
         )
 
     def gather(self, locs) -> jax.Array:
-        return self._gather(jnp.asarray(locs))
+        return self._gather(
+            self._flat, self._widths, self._bases, self._min, self._max,
+            jnp.asarray(locs),
+        )
 
 
 def augment_flips(x: jax.Array, key: jax.Array, p: float = 0.5) -> jax.Array:

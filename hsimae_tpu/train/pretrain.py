@@ -120,8 +120,14 @@ def make_fused_pretrain_chunk(
     # chunk layout is [K_steps, batch, ...]: batch is dim 1
     dp_sh = NamedSharding(mesh, P(None, "data")) if mesh is not None else None
 
-    def chunk(state: TrainState, locs_chunk: jax.Array, base_rng: jax.Array,
-              len_t: int, len_l: int):
+    # ``flat`` (the concatenated scene buffer) is a jit ARGUMENT, not a
+    # closure capture: captured device arrays are embedded in the lowered
+    # program as constants, which at HSIHybrid scale (~5 GB of scenes) ships
+    # gigabytes into the remote compile and duplicates the buffer in the
+    # executable (see MultiScenePatchSource.gather for the same rule).
+    def chunk_impl(state: TrainState, locs_chunk: jax.Array,
+                   base_rng: jax.Array, flat: jax.Array, len_t: int,
+                   len_l: int):
         # ONE bulk gather for the whole chunk before the scan: gathers inside
         # a lax.scan body execute catastrophically slowly on this backend
         # (~300ms/step vs 1.2ms standalone — measured), while a single big
@@ -156,7 +162,13 @@ def make_fused_pretrain_chunk(
         )
         return state, losses.mean()
 
-    return jax.jit(chunk, static_argnums=(3, 4), donate_argnums=(0,))
+    jitted = jax.jit(chunk_impl, static_argnums=(4, 5), donate_argnums=(0,))
+
+    def chunk(state: TrainState, locs_chunk: jax.Array, base_rng: jax.Array,
+              len_t: int, len_l: int):
+        return jitted(state, locs_chunk, base_rng, flat, len_t, len_l)
+
+    return chunk
 
 
 def run_pretraining(

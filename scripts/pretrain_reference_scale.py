@@ -77,8 +77,12 @@ def train():
     main([
         "--scenes", *scenes, "--no-gwpca",
         "--model", "HSIMAE-B", "--bf16",
+        # bf16 scene storage: the 4.6 GB f32 buffer OOMs the multi-tenant
+        # chip alongside the bs=2048 step working set (scripts/diag_oom.py)
+        "--scene-dtype", "bfloat16",
         "--epochs", os.environ.get("HSIMAE_REFSCALE_EPOCHS", "3"),
-        "--batch-size", "2048", "--workdir", WORKDIR,
+        "--batch-size", os.environ.get("HSIMAE_REFSCALE_BS", "2048"),
+        "--workdir", WORKDIR,
         "--coarse-from", "14", "--checkpoint-every", "1000",
     ])
 

@@ -191,6 +191,27 @@ def test_multi_scene_source_norm_and_gather():
         np.testing.assert_allclose(got[k], want, rtol=1e-5)
 
 
+def test_multi_scene_source_bf16_storage_matches_f32():
+    """bf16 scene storage (reference-scale corpora: halves HBM + upload)
+    gathers must match f32 within bf16 mantissa error, and the OUTPUT stays
+    f32 (patches normalize/train in f32 regardless of storage)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    scenes = [rng.normal(size=(20, 15, 8)).astype(np.float32) for _ in range(2)]
+    mins = np.array([s.min() for s in scenes], np.float32)
+    maxs = np.array([s.max() for s in scenes], np.float32)
+    locs = np.array([[3, 2, 1], [0, 0, 0], [11, 6, 0]], np.int32)
+    f32 = MultiScenePatchSource(scenes, patch_size=9, scene_min=mins,
+                                scene_max=maxs)
+    bf16 = MultiScenePatchSource(scenes, patch_size=9, scene_min=mins,
+                                 scene_max=maxs, storage_dtype=jnp.bfloat16)
+    assert bf16._flat.dtype == jnp.bfloat16
+    a, b = f32.gather(locs), bf16.gather(locs)
+    assert b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
 def test_augment_flips_are_axis_reversals():
     import jax
 
