@@ -25,13 +25,14 @@ estimate is 100k patches/s. BASELINE.json's north star is >=5x that.
 math) — the single-chip roofline is therefore ~360k patches/s and an mfu
 near 1.0 means the step is compute-bound at peak.
 
-Session-lottery handling (measured, RESULTS.md round 2): each process lands
-in a fast (~6 ms/step) or throttled (~180 ms/step, device-level) mode drawn
-at session setup. Attempt 0 measures unconditionally (capturing the
-throttled floor so the round always has a number); later attempts probe
-dispatch latency with a tiny program first and exit in seconds when
-throttled, so retries are cheap and the wall-clock budget is spent hunting
-a fast session.
+Session-lottery handling (measured, RESULTS.md rounds 2-3): each process
+lands in a fast (~6 ms/step) or throttled (~190-215 ms/step, device-level
+bandwidth cap) mode drawn at session setup. Attempt 0 measures
+unconditionally (capturing the throttled floor so the round always has a
+number); later attempts probe with the REAL train step on a resident batch
+(tiny-program probes cannot distinguish the modes — the ~30 ms per-program
+floor is mode-independent) and exit in ~40 s when throttled, so the
+wall-clock budget is spent hunting a fast session.
 """
 
 from __future__ import annotations
@@ -66,23 +67,53 @@ RETRY_SLEEP_S = 45.0  # mode draws are time-correlated; don't hammer
 
 
 def _probe_only() -> bool:
-    """Tiny-program dispatch probe (compiles in seconds, uses the persistent
-    cache). Returns True when the session is throttled."""
+    """REAL-STEP session probe on a resident batch. Returns True when the
+    session is throttled.
+
+    A tiny-matmul probe CANNOT distinguish the modes: the ~30 ms
+    per-program floor is mode-independent, so tiny dispatches read ~30 ms
+    in fast AND throttled sessions (scripts/diag_gather.py, round 3) — 14
+    'fast'-probed attempts in a row all turned out throttled on the real
+    step. Only the big train step separates the modes (~6 ms fast vs
+    ~190-215 ms throttled), so the gate runs it on a resident batch: no
+    scene/gather setup, ~2 cached program loads, verdict in ~30-45 s."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    f = jax.jit(lambda x: (x @ x).sum())
-    x = jnp.ones((512, 512), jnp.float32)
-    for _ in range(3):  # axon compiles twice; third call is steady state
-        float(f(x))
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.models.hsimae import build_hsimae, init_model
+    from hsimae_tpu.models.masking import grid_shape_candidates
+    from hsimae_tpu.train.optim import pretrain_optimizer
+    from hsimae_tpu.train.pretrain import TrainState, make_pretrain_step
+
+    cfg = preset("HSIMAE-B", compute_dtype=jnp.bfloat16)
+    model = build_hsimae(cfg)
+    if jax.devices()[0].platform != "cpu":
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.device_get(init_model(model, seed=0)["params"])
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = init_model(model, seed=0)["params"]
+    tx, _ = pretrain_optimizer(5e-4, 5e-2, total_steps=1000)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(model)
+    lt, ll = grid_shape_candidates(cfg.t_size, cfg.l_size, 0.5)[0]
+    imgs = jax.device_put(np.random.default_rng(0).standard_normal(
+        (BATCH, cfg.img_size, cfg.img_size, cfg.bands)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for _ in range(4):  # two compiles/loads + settle
+        state, loss = step(state, imgs, key, lt, ll)
+        float(loss)
     t0 = time.perf_counter()
-    n = 6
+    n = 3
     for _ in range(n):
-        float(f(x))  # value fetch = true completion barrier
+        state, loss = step(state, imgs, key, lt, ll)
+        float(loss)  # value fetch = true completion barrier
     ms = (time.perf_counter() - t0) / n * 1e3
-    print(f"# probe {ms:.1f} ms/dispatch -> "
-          f"{'THROTTLED' if ms > 40.0 else 'fast'}", file=sys.stderr)
-    return ms > 40.0
+    print(f"# step-probe {ms:.1f} ms/step -> "
+          f"{'THROTTLED' if ms > 50.0 else 'fast'}", file=sys.stderr)
+    return ms > 50.0
 
 
 def main(fast_only: bool = False):
@@ -243,6 +274,7 @@ def parent():
     best = None
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
     attempt = 0
+    consecutive_failures = 0
     while True:
         remaining = BUDGET_S - (time.monotonic() - t_start)
         # a fresh full measurement needs ~300-700s cold / ~150s warm-cache;
@@ -274,10 +306,16 @@ def parent():
         if rec is None or "skip" in rec:
             why = rec["skip"] if rec else "no output"
             print(f"# attempt {attempt - 1}: {why}")
-            if rec is not None:  # clean throttle-probe exit: wait out streak
-                time.sleep(min(RETRY_SLEEP_S,
-                               max(0.0, BUDGET_S - (time.monotonic() - t_start))))
+            if rec is None:  # child died before reporting: systematic?
+                consecutive_failures += 1
+                if consecutive_failures >= 5:
+                    break  # inline last resort below (or report best-so-far)
+            # sleep either way: mode draws are time-correlated, and a crash
+            # loop must not spawn children back-to-back for the whole budget
+            time.sleep(min(RETRY_SLEEP_S,
+                           max(0.0, BUDGET_S - (time.monotonic() - t_start))))
             continue
+        consecutive_failures = 0
         print(f"# attempt {attempt - 1}: {rec['value']} {rec['unit']}")
         if best is None or rec["value"] > best["value"]:
             best = rec

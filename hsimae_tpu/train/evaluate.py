@@ -66,8 +66,8 @@ def classify_scene(
     uncovered = uncovered_leaves(tgt, loaded)
     if any(p[0] == CLS_HEAD_NAME for p in uncovered):
         raise ValueError(
-            "checkpoint does not cover cls_head — wrong num_classes or a "
-            f"pretrain-only checkpoint? (loaded {len(loaded)}, "
+            f"checkpoint does not cover {CLS_HEAD_NAME} — wrong num_classes "
+            f"or a pretrain-only checkpoint? (loaded {len(loaded)}, "
             f"ignored {len(skipped)} source leaves)"
         )
     if uncovered:
