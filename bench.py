@@ -284,11 +284,19 @@ def parent():
         mode = "full" if best is None else "fastonly"
         env["HSIMAE_BENCH_CHILD"] = mode
         stdout, stderr = "", ""
+        # a full attempt may use the whole remaining budget (it must produce
+        # the round's number even through slow-compile periods), but a probe
+        # child is bounded: the runtime sometimes wedges program loads for
+        # tens of minutes ("molasses" periods, RESULTS.md round 3) and a
+        # stuck probe must not eat the budget
+        child_timeout = max(60.0, remaining - 20.0)
+        if mode == "fastonly":
+            child_timeout = min(600.0, child_timeout)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
-                timeout=max(60.0, remaining - 20.0),
+                timeout=child_timeout,
             )
             stdout, stderr = out.stdout, out.stderr
         except subprocess.TimeoutExpired as e:  # partial output still counts
