@@ -284,14 +284,15 @@ def parent():
         mode = "full" if best is None else "fastonly"
         env["HSIMAE_BENCH_CHILD"] = mode
         stdout, stderr = "", ""
-        # a full attempt may use the whole remaining budget (it must produce
-        # the round's number even through slow-compile periods), but a probe
-        # child is bounded: the runtime sometimes wedges program loads for
-        # tens of minutes ("molasses" periods, RESULTS.md round 3) and a
-        # stuck probe must not eat the budget
+        # every child is bounded: the runtime sometimes wedges sessions for
+        # tens of minutes (even jax.devices() hangs — "molasses" periods,
+        # RESULTS.md round 3), and one wedged child must not eat the budget.
+        # A full attempt gets 1500 s (cold compiles ~240 s + slow loads fit;
+        # a wedge doesn't) and is simply retried while no number exists;
+        # a probe child gets 600 s.
         child_timeout = max(60.0, remaining - 20.0)
-        if mode == "fastonly":
-            child_timeout = min(600.0, child_timeout)
+        child_timeout = min(600.0 if mode == "fastonly" else 1500.0,
+                            child_timeout)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -314,13 +315,15 @@ def parent():
         if rec is None or "skip" in rec:
             why = rec["skip"] if rec else "no output"
             print(f"# attempt {attempt - 1}: {why}")
-            if rec is None:  # child died before reporting: systematic?
+            if rec is None:
                 consecutive_failures += 1
-                if consecutive_failures >= 5:
-                    break  # inline last resort below (or report best-so-far)
             # sleep either way: mode draws are time-correlated, and a crash
-            # loop must not spawn children back-to-back for the whole budget
-            time.sleep(min(RETRY_SLEEP_S,
+            # loop must not spawn children back-to-back. Repeated no-output
+            # children (wedged-runtime periods, which clear in ~30-60 min)
+            # back off up to 2x the base sleep but NEVER stop retrying —
+            # an inline fallback would just hang unbounded in the same wedge
+            sleep_s = RETRY_SLEEP_S * min(2.0, 1.0 + consecutive_failures / 4)
+            time.sleep(min(sleep_s,
                            max(0.0, BUDGET_S - (time.monotonic() - t_start))))
             continue
         consecutive_failures = 0
