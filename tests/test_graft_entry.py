@@ -37,12 +37,17 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     }
     env.pop("XLA_FLAGS", None)
     # Keep the parent off the TPU tunnel: force the 1-device CPU platform.
+    # HSIMAE_FORCE_CPU is applied at __graft_entry__ IMPORT time, so the
+    # entry module must be imported BEFORE the first jax.devices() call —
+    # otherwise the subprocess initializes the axon/TPU backend (and hangs
+    # whenever the tunnel is down, a real outage mode).
     env["HSIMAE_FORCE_CPU"] = "1"
     out = subprocess.run(
         [sys.executable, "-c",
          "import sys; sys.path.insert(0, '/root/repo'); "
+         "import __graft_entry__ as g; "
          "import jax; assert len(jax.devices()) == 1, jax.devices(); "
-         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+         "g.dryrun_multichip(8)"],
         env=env, capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
