@@ -13,6 +13,10 @@ Output contract: the LAST line of stdout is the JSON record
 is printed after EVERY attempt (and recovered from timeout-killed children),
 so truncating this process at any point after the first measurement still
 leaves a parseable line. ``#``-prefixed progress lines may precede it.
+If a run measures NOTHING (full tunnel outage), the archived best from
+``artifacts/bench_best.json`` is emitted with ``"stale": true`` and its
+``measured_at``/``git_rev`` provenance — a labeled stale number beats the
+unparseable silence round 2 recorded.
 
 ``vs_baseline``: the reference publishes no throughput numbers (SURVEY.md §6),
 so the baseline is an estimate of the reference's torch pipeline on an A100:
@@ -64,6 +68,13 @@ GOOD_ENOUGH_PPS = 300_000.0
 CACHE_DIR = "/tmp/jax_comp_cache"
 BUDGET_S = float(os.environ.get("HSIMAE_BENCH_BUDGET_S", "2700"))
 RETRY_SLEEP_S = 45.0  # mode draws are time-correlated; don't hammer
+
+# Every fresh measurement is archived here; when a run captures NOTHING
+# (full tunnel outage — round 3 saw a 4+ h window where even jax.devices()
+# hung), the archived best is emitted with "stale": true so the round still
+# produces a parseable, honestly-labeled record instead of rc:124 + no JSON.
+ARCHIVE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "artifacts", "bench_best.json")
 
 
 def _probe_only() -> bool:
@@ -259,6 +270,45 @@ def _report(pps: float) -> None:
     print(json.dumps(_record(pps / max(jax.device_count(), 1))), flush=True)
 
 
+def _archive(rec: dict) -> None:
+    """Persist the best fresh measurement (with provenance) for outage
+    fallback. Best-effort: an unwritable tree must not break the bench."""
+    try:
+        import datetime
+
+        meta = dict(rec)
+        meta["measured_at"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        try:
+            import subprocess as sp
+
+            meta["git_rev"] = sp.run(
+                ["git", "-C", os.path.dirname(ARCHIVE_PATH), "rev-parse",
+                 "--short", "HEAD"], capture_output=True, text=True,
+                timeout=10).stdout.strip() or None
+        except Exception:  # noqa: BLE001
+            meta["git_rev"] = None
+        os.makedirs(os.path.dirname(ARCHIVE_PATH), exist_ok=True)
+        with open(ARCHIVE_PATH, "w") as f:
+            json.dump(meta, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# archive write failed: {e}", file=sys.stderr)
+
+
+def _stale_fallback() -> dict | None:
+    """Load the archived best measurement and mark it stale."""
+    try:
+        with open(ARCHIVE_PATH) as f:
+            rec = json.load(f)
+    except Exception:  # noqa: BLE001
+        return None
+    rec["stale"] = True
+    if "mfu" not in rec and "value" in rec:
+        rec["mfu"] = round(rec["value"] * FLOP_PER_PATCH
+                           / (PEAK_TFLOPS * 1e12), 4)
+    return rec
+
+
 def _last_json_line(text: str):
     for line in reversed((text or "").splitlines()):
         if line.startswith("{"):
@@ -272,6 +322,13 @@ def _last_json_line(text: str):
 def parent():
     t_start = time.monotonic()
     best = None
+    # Provisional first line: if the driver's timeout kills this parent while
+    # the tunnel is down (children hang; round 3 saw a 4+ h outage), the LAST
+    # stdout line is still this parseable, stale-labeled record. Every fresh
+    # measurement prints after it and supersedes it.
+    provisional = _stale_fallback()
+    if provisional is not None:
+        print(json.dumps(provisional), flush=True)
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
     attempt = 0
     consecutive_failures = 0
@@ -330,11 +387,23 @@ def parent():
         print(f"# attempt {attempt - 1}: {rec['value']} {rec['unit']}")
         if best is None or rec["value"] > best["value"]:
             best = rec
+            _archive(best)
         print(json.dumps(best), flush=True)  # best-so-far: survives any kill
         if best["value"] >= GOOD_ENOUGH_PPS:
             break
-    if best is None:  # every attempt produced nothing: run inline, last resort
-        main()
+    if best is None:
+        # Every attempt produced nothing — a full tunnel outage (children
+        # hang at jax.devices(); an inline run would hang identically until
+        # the driver's kill, which is exactly how round 2 recorded NOTHING).
+        # Emit the archived best, honestly labeled stale-with-provenance.
+        stale = _stale_fallback()
+        if stale is not None:
+            print("# no fresh measurement this run (tunnel outage); "
+                  "emitting archived best marked stale", file=sys.stderr)
+            print(json.dumps(stale))
+        else:
+            print(json.dumps({**_record(0.0),
+                              "error": "no_measurement_tunnel_outage"}))
         return
     print(json.dumps(best))
 

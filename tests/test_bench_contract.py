@@ -32,6 +32,41 @@ def test_last_json_line_handles_empty_and_none():
     assert bench._last_json_line("# only comments\n# here") is None
 
 
+def test_stale_fallback_loads_archive_and_flags_it(tmp_path, monkeypatch):
+    rec = {"metric": "m", "value": 123.0, "unit": "patches/s/chip",
+           "vs_baseline": 0.001, "measured_at": "2026-08-16T00:00:00+00:00"}
+    p = tmp_path / "bench_best.json"
+    p.write_text(json.dumps(rec))
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(p))
+    out = bench._stale_fallback()
+    assert out["stale"] is True
+    assert out["value"] == 123.0
+    assert "mfu" in out  # filled in when the archived record predates mfu
+    assert json.loads(json.dumps(out)) == out
+
+
+def test_stale_fallback_missing_archive_returns_none(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(tmp_path / "nope.json"))
+    assert bench._stale_fallback() is None
+
+
+def test_archive_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(tmp_path / "b.json"))
+    bench._archive(bench._record(11_000.0))
+    out = bench._stale_fallback()
+    assert out["value"] == 11_000.0
+    assert out["stale"] is True
+    assert "measured_at" in out
+
+
+def test_repo_archive_is_seeded_and_valid():
+    # the outage fallback only works if the committed seed parses
+    with open(bench.ARCHIVE_PATH) as f:
+        rec = json.load(f)
+    assert rec["unit"] == "patches/s/chip"
+    assert rec["value"] > 0
+
+
 def test_record_shape_and_mfu():
     rec = bench._record(360_000.0)  # the self-computed roofline
     assert set(rec) == {"metric", "value", "unit", "vs_baseline", "mfu"}
