@@ -1,0 +1,169 @@
+"""AOT export / load of the HSIViT classifier for production serving.
+
+Replaces the reference's deploy story (ship ``Models.py`` + a torch ``.pkl``
+and re-run the eval loop of ``/root/reference/Model_Finetuning.py:243-301``)
+with the XLA-native one: :func:`jax.export.export` lowers the jitted
+classifier forward to serialized StableHLO once, at a fixed set of batch
+buckets, for both ``cpu`` and ``tpu``. The artifact is a single msgpack file
+bundling the programs, the trained params, and the model metadata; loading
+it needs jax only (no flax, no model source) and inherits jax.export's
+cross-version compatibility window.
+
+Static batch buckets are the TPU serving discipline: XLA programs have
+static shapes, so a request of ``n`` patches is padded up to the smallest
+bucket >= n (one program load per bucket, then cached by the runtime), and
+requests above the largest bucket stream through it in chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+from jax import export as jax_export
+
+from hsimae_tpu.config import ModelConfig
+from hsimae_tpu.models.hsimae import CLS_HEAD_NAME, HSIMAE, build_hsi_vit, init_model
+from hsimae_tpu.checkpoints.io import partial_restore, uncovered_leaves
+
+ARTIFACT_VERSION = 1
+DEFAULT_BUCKETS = (1, 64, 1024)
+
+
+def _abstractify(tree):
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), tree)
+
+
+def export_classifier(
+    params: dict,
+    model_cfg: ModelConfig,
+    num_classes: int,
+    batch_sizes: Sequence[int] = DEFAULT_BUCKETS,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> bytes:
+    """Serialize an HSIViT classifier into a self-contained artifact.
+
+    ``params`` may be any checkpoint covering the encoder + cls head (a
+    fine-tuned DualViT tree works — key-intersection restore, the same rule
+    as `/root/reference/Model_Finetuning.py`'s eval path); a checkpoint that
+    leaves the cls head uncovered is rejected.
+    """
+    model = build_hsi_vit(model_cfg, num_classes)
+    tgt = init_model(model, seed=0)["params"]
+    params, loaded, _ = partial_restore(tgt, params, verbose=False)
+    uncovered = uncovered_leaves(tgt, loaded)
+    if any(p[0] == CLS_HEAD_NAME for p in uncovered):
+        raise ValueError(
+            f"checkpoint does not cover {CLS_HEAD_NAME} — wrong num_classes "
+            "or a pretrain-only checkpoint?")
+    params = jax.device_get(params)
+
+    fwd = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, False,
+                                 method=HSIMAE.classify))
+    p_abs = _abstractify(params)
+    programs: Dict[str, bytes] = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        x_abs = jax.ShapeDtypeStruct(
+            (b, model_cfg.img_size, model_cfg.img_size, model_cfg.bands),
+            np.float32)
+        exp = jax_export.export(fwd, platforms=list(platforms))(p_abs, x_abs)
+        programs[str(b)] = bytes(exp.serialize())
+
+    bundle = {
+        "version": ARTIFACT_VERSION,
+        "num_classes": int(num_classes),
+        "batch_sizes": [int(b) for b in sorted(set(batch_sizes))],
+        "platforms": list(platforms),
+        "model_cfg": {k: (v if not hasattr(v, "dtype") else str(v))
+                      for k, v in dataclasses.asdict(model_cfg).items()},
+        "programs": programs,
+        "params": params,
+    }
+    return serialization.msgpack_serialize(_jsonify(bundle))
+
+
+def _jsonify(tree):
+    """msgpack chokes on dtypes/None inside the cfg dict — stringify them."""
+    if isinstance(tree, dict):
+        return {k: _jsonify(v) for k, v in tree.items()}
+    if tree is None:
+        return "__none__"
+    if isinstance(tree, type):  # e.g. jnp.float32 class objects in cfg
+        return str(tree)
+    return tree
+
+
+def save_classifier(path: str, blob: bytes) -> str:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return path
+
+
+class ExportedClassifier:
+    """A loaded serving artifact: bucketed, padded, chunked inference.
+
+    ``predict_logits`` returns ``[n, num_classes]`` f32; ``predict`` returns
+    1-based labels with the background logit excluded at argmax — the
+    reference's eval rule (`Model_Finetuning.py:277-280`).
+    """
+
+    def __init__(self, bundle: dict):
+        self.version = int(bundle["version"])
+        self.num_classes = int(bundle["num_classes"])
+        self.batch_sizes = sorted(int(b) for b in bundle["batch_sizes"])
+        self.model_meta = bundle["model_cfg"]
+        self.params = bundle["params"]
+        self._calls = {
+            int(b): jax_export.deserialize(bytearray(blob)).call
+            for b, blob in bundle["programs"].items()
+        }
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    def predict_logits(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        n = x.shape[0]
+        if n == 0:
+            return np.zeros((0, self.num_classes), np.float32)
+        max_b = self.batch_sizes[-1]
+        out = []
+        for s in range(0, n, max_b):
+            chunk = x[s:s + max_b]
+            b = self._bucket(chunk.shape[0])
+            if chunk.shape[0] < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - chunk.shape[0],) + chunk.shape[1:],
+                                     np.float32)])
+            logits = np.asarray(self._calls[b](self.params, chunk))
+            out.append(logits[:min(max_b, n - s)])
+        return np.concatenate(out)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        logits = self.predict_logits(x)
+        return np.argmax(logits[:, 1:], axis=1).astype(np.int32) + 1
+
+
+def load_classifier(path_or_blob) -> ExportedClassifier:
+    if isinstance(path_or_blob, (bytes, bytearray)):
+        blob = bytes(path_or_blob)
+    else:
+        with open(path_or_blob, "rb") as f:
+            blob = f.read()
+    bundle = serialization.msgpack_restore(blob)
+    if int(bundle["version"]) > ARTIFACT_VERSION:
+        raise ValueError(
+            f"artifact version {bundle['version']} is newer than this "
+            f"library supports ({ARTIFACT_VERSION})")
+    return ExportedClassifier(bundle)

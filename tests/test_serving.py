@@ -1,0 +1,139 @@
+"""Serving artifact tests: export -> load -> parity with the live model.
+
+The artifact must reproduce the live classifier's logits exactly (same
+XLA-compiled math, CPU lowering) through save/load, padding, bucket
+selection, and chunked dispatch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hsimae_tpu.config import ModelConfig
+from hsimae_tpu.models.hsimae import HSIMAE, build_hsi_vit, init_model
+from hsimae_tpu.serving import export_classifier, load_classifier
+from hsimae_tpu.serving.export import save_classifier
+
+CFG = ModelConfig(embed_dim=32, depth=2, s_depth=1, decoder_dim=16,
+                  decoder_depth=1, num_classes=0)
+NUM_CLASSES = 5
+
+
+@pytest.fixture(scope="module")
+def artifact_and_oracle(tmp_path_factory):
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=3)["params"]
+    blob = export_classifier(params, CFG, NUM_CLASSES,
+                             batch_sizes=(2, 8), platforms=("cpu",))
+    path = save_classifier(
+        str(tmp_path_factory.mktemp("srv") / "model.hsix"), blob)
+
+    def oracle(x):
+        return np.asarray(model.apply(
+            {"params": params}, x, False, method=HSIMAE.classify))
+
+    return path, oracle
+
+
+def test_export_load_logits_parity(artifact_and_oracle):
+    path, oracle = artifact_and_oracle
+    clf = load_classifier(path)
+    x = np.random.default_rng(0).standard_normal(
+        (8, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    np.testing.assert_allclose(clf.predict_logits(x), oracle(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_padding_and_bucket_selection(artifact_and_oracle):
+    path, oracle = artifact_and_oracle
+    clf = load_classifier(path)
+    rng = np.random.default_rng(1)
+    # n=1 pads into the 2-bucket; n=3 pads into the 8-bucket; n=8 exact
+    for n in (1, 3, 8):
+        x = rng.standard_normal(
+            (n, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+        got = clf.predict_logits(x)
+        assert got.shape == (n, NUM_CLASSES)
+        np.testing.assert_allclose(got, oracle(x), rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_dispatch_above_largest_bucket(artifact_and_oracle):
+    path, oracle = artifact_and_oracle
+    clf = load_classifier(path)
+    x = np.random.default_rng(2).standard_normal(
+        (19, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    got = clf.predict_logits(x)  # 8 + 8 + pad(3->8)
+    assert got.shape == (19, NUM_CLASSES)
+    np.testing.assert_allclose(got, oracle(x), rtol=1e-5, atol=1e-5)
+
+
+def test_predict_labels_are_1based_background_excluded(artifact_and_oracle):
+    path, _ = artifact_and_oracle
+    clf = load_classifier(path)
+    x = np.random.default_rng(3).standard_normal(
+        (4, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    labels = clf.predict(x)
+    assert labels.dtype == np.int32
+    assert labels.min() >= 1 and labels.max() <= NUM_CLASSES - 1
+
+
+def test_empty_batch(artifact_and_oracle):
+    path, _ = artifact_and_oracle
+    clf = load_classifier(path)
+    x = np.zeros((0, CFG.img_size, CFG.img_size, CFG.bands), np.float32)
+    assert clf.predict_logits(x).shape == (0, NUM_CLASSES)
+
+
+def test_cross_platform_artifact_runs_on_cpu():
+    # the production default lowers for BOTH cpu and tpu in one artifact;
+    # cross-lowering needs no TPU present and the cpu program must still run
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=7)["params"]
+    blob = export_classifier(params, CFG, NUM_CLASSES,
+                             batch_sizes=(2,), platforms=("cpu", "tpu"))
+    clf = load_classifier(blob)
+    x = np.random.default_rng(7).standard_normal(
+        (2, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    want = np.asarray(model.apply({"params": params}, x, False,
+                                  method=HSIMAE.classify))
+    np.testing.assert_allclose(clf.predict_logits(x), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pretrain_only_checkpoint_rejected():
+    from hsimae_tpu.models.hsimae import build_hsimae
+
+    pt_model = build_hsimae(CFG)
+    pt_params = init_model(pt_model, seed=0)["params"]
+    with pytest.raises(ValueError, match="cls_head"):
+        export_classifier(pt_params, CFG, NUM_CLASSES,
+                          batch_sizes=(2,), platforms=("cpu",))
+
+
+def test_artifact_metadata(artifact_and_oracle):
+    path, _ = artifact_and_oracle
+    clf = load_classifier(path)
+    assert clf.num_classes == NUM_CLASSES
+    assert clf.batch_sizes == [2, 8]
+    assert int(clf.model_meta["embed_dim"]) == CFG.embed_dim
+
+
+def test_export_cli(tmp_path):
+    from hsimae_tpu.checkpoints.io import save_params
+    from hsimae_tpu.cli.export import build_parser, main
+    from hsimae_tpu.cli.common import model_config
+
+    # params must match the config the CLI will build from its args
+    argv = ["--params", "PLACEHOLDER", "--num-classes", str(NUM_CLASSES),
+            "--output", str(tmp_path / "model.hsix"),
+            "--batch-sizes", "2", "--platforms", "cpu",
+            "--model", "HSIMAE-S"]
+    cli_cfg = model_config(build_parser().parse_args(argv))
+    model = build_hsi_vit(cli_cfg, NUM_CLASSES)
+    params = init_model(model, seed=0)["params"]
+    ckpt = str(tmp_path / "ft.msgpack")
+    save_params(ckpt, params)
+    argv[1] = ckpt
+    main(argv)
+    assert load_classifier(str(tmp_path / "model.hsix")).num_classes == NUM_CLASSES
