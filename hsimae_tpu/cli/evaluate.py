@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-classes", type=int, required=True,
                    help="including background class 0")
     p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel inference over N devices (0 = single "
+                        "device); batch is split over the mesh 'data' axis")
     p.add_argument("--out", default=None, help="dir for colormap PNGs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--samples-per-class", type=int, default=None,
@@ -66,10 +69,15 @@ def main(argv=None):
             rng=np.random.default_rng(args.seed))
         gt = test_gt_flat.reshape(gt.shape)
     params = load_any_checkpoint(args.params)
+    mesh = None
+    if args.dp:
+        from hsimae_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.dp)
     res = evaluate_scene(
         scene.astype(np.float32), gt, params, mcfg, args.num_classes,
         EvalConfig(batch_size=args.batch_size),
-        save_dir=args.out, name="scene",
+        save_dir=args.out, name="scene", mesh=mesh,
     )
     m = res.metrics
     print(json.dumps({

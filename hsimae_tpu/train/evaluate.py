@@ -42,12 +42,17 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _cached_classify(model):
-    @jax.jit
+def _cached_classify(model, mesh=None):
     def fwd(p, x):
         return model.apply({"params": p}, x, False, method=HSIMAE.classify)
 
-    return fwd
+    if mesh is None:
+        return jax.jit(fwd)
+    # data-parallel eval: batch split over 'data', params replicated; XLA
+    # runs each shard's forward locally (no collectives needed for logits)
+    from hsimae_tpu.parallel.mesh import batch_sharding, replicated
+
+    return jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)))
 
 
 def classify_scene(
@@ -56,8 +61,16 @@ def classify_scene(
     model_cfg: ModelConfig,
     num_classes: int,
     cfg: EvalConfig = EvalConfig(),
+    mesh=None,
 ) -> np.ndarray:
-    """Predict a label for every pixel -> [h, w] int32 (1-based)."""
+    """Predict a label for every pixel -> [h, w] int32 (1-based).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` from ``parallel.make_mesh``) enables
+    data-parallel inference: each batch is split over the mesh's 'data' axis
+    (batch size rounded up to a multiple of it) and params are replicated —
+    full-scene maps scale linearly with chip count. The patch gather runs on
+    the default device and the batch is resharded onto the mesh (eval is
+    forward-only and gather-light; the reshard rides ICI)."""
     model = build_hsi_vit(model_cfg, num_classes)
     tgt = init_model(model, seed=0)["params"]
     params, loaded, skipped = partial_restore(tgt, params, verbose=False)
@@ -77,15 +90,28 @@ def classify_scene(
             f"partial restore left {len(uncovered)} target leaves at random "
             f"init (ignored {len(skipped)} source leaves); evaluation "
             "metrics may be meaningless", stacklevel=2)
-    fwd = _cached_classify(model)
+    fwd = _cached_classify(model, mesh)
 
     source = ScenePatchSource(scene, model_cfg.img_size)
     h, w = scene.shape[:2]
     n = h * w
     bs = min(cfg.batch_size, n)
+    if mesh is not None:
+        from hsimae_tpu.parallel.mesh import (
+            batch_sharding,
+            pad_to_multiple,
+            replicate,
+        )
+
+        bs = pad_to_multiple(bs, mesh.shape["data"])
+        params = replicate(params, mesh)
+        batch_sh = batch_sharding(mesh)
     out = np.zeros(n, np.int32)
     for chunk, valid in batch_indices(n, bs, shuffle=False):
-        logits = np.asarray(fwd(params, source.gather_pixels(chunk)))
+        imgs = source.gather_pixels(chunk)
+        if mesh is not None:
+            imgs = jax.device_put(imgs, batch_sh)
+        logits = np.asarray(fwd(params, imgs))
         # background logit excluded, +1 (`Model_Finetuning.py:277-280`)
         pred = np.argmax(logits[:, 1:], axis=1) + 1
         out[chunk[valid]] = pred[valid]
@@ -101,8 +127,10 @@ def evaluate_scene(
     cfg: EvalConfig = EvalConfig(),
     save_dir: Optional[str] = None,
     name: str = "scene",
+    mesh=None,
 ) -> SceneEvalResult:
-    pred_map = classify_scene(scene, params, model_cfg, num_classes, cfg)
+    pred_map = classify_scene(scene, params, model_cfg, num_classes, cfg,
+                              mesh=mesh)
     m = classification_metrics(test_gt, pred_map)
     if save_dir and cfg.save_colormaps:
         os.makedirs(save_dir, exist_ok=True)

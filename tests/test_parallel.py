@@ -175,3 +175,26 @@ def test_tp_sharded_step_matches_replicated():
     l2, g2 = run(True)
     assert np.isclose(l1, l2, rtol=1e-5)
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_dp_classify_scene_matches_single_device():
+    """Mesh-sharded full-scene inference == single-device inference."""
+    from hsimae_tpu.config import EvalConfig, preset
+    from hsimae_tpu.models.hsimae import build_hsi_vit, init_model
+    from hsimae_tpu.train.evaluate import classify_scene
+
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16,
+                 decoder_num_heads=2, bands=8)
+    n_classes = 4
+    params = jax.device_get(
+        init_model(build_hsi_vit(cfg, n_classes), seed=0)["params"])
+    scene = np.random.default_rng(0).standard_normal(
+        (11, 13, cfg.bands)).astype(np.float32)
+    # bs=30 with 11*13=143 pixels: exercises padding of the final batch AND
+    # the round-up of bs to a multiple of the data axis (30 -> 32 on data=8)
+    ecfg = EvalConfig(batch_size=30)
+    single = classify_scene(scene, params, cfg, n_classes, ecfg)
+    sharded = classify_scene(scene, params, cfg, n_classes, ecfg,
+                             mesh=make_mesh())
+    np.testing.assert_array_equal(sharded, single)
