@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-sizes", type=int, nargs="+",
                    default=[1, 64, 1024])
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--params-dtype", default=None,
+                   help="cast float params before export (e.g. bfloat16 — "
+                        "half the artifact/HBM size)")
     return p
 
 
@@ -38,7 +41,8 @@ def main(argv=None):
     params = load_any_checkpoint(args.params)
     blob = export_classifier(
         params, model_config(args), args.num_classes,
-        batch_sizes=args.batch_sizes, platforms=args.platforms)
+        batch_sizes=args.batch_sizes, platforms=args.platforms,
+        params_dtype=args.params_dtype)
     path = save_classifier(args.output, blob)
     print(json.dumps({"artifact": path, "bytes": len(blob),
                       "batch_sizes": sorted(set(args.batch_sizes)),

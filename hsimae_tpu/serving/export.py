@@ -45,6 +45,7 @@ def export_classifier(
     num_classes: int,
     batch_sizes: Sequence[int] = DEFAULT_BUCKETS,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    params_dtype: Optional[str] = None,
 ) -> bytes:
     """Serialize an HSIViT classifier into a self-contained artifact.
 
@@ -52,6 +53,10 @@ def export_classifier(
     fine-tuned DualViT tree works — key-intersection restore, the same rule
     as `/root/reference/Model_Finetuning.py`'s eval path); a checkpoint that
     leaves the cls head uncovered is rejected.
+
+    ``params_dtype='bfloat16'`` casts float params before export — half the
+    artifact/HBM size, the standard TPU serving dtype (pair it with a
+    ``model_cfg`` whose ``compute_dtype`` is bf16 for an all-bf16 forward).
     """
     model = build_hsi_vit(model_cfg, num_classes)
     tgt = init_model(model, seed=0)["params"]
@@ -62,6 +67,14 @@ def export_classifier(
             f"checkpoint does not cover {CLS_HEAD_NAME} — wrong num_classes "
             "or a pretrain-only checkpoint?")
     params = jax.device_get(params)
+    if params_dtype is not None:
+        import jax.numpy as jnp
+
+        tgt_dt = jnp.dtype(params_dtype)  # ml_dtypes: 'bfloat16' works
+        params = jax.tree.map(
+            lambda a: np.asarray(a).astype(tgt_dt)
+            if jnp.issubdtype(np.asarray(a).dtype, jnp.floating) else a,
+            params)
 
     fwd = jax.jit(
         lambda p, x: model.apply({"params": p}, x, False,

@@ -137,3 +137,23 @@ def test_export_cli(tmp_path):
     argv[1] = ckpt
     main(argv)
     assert load_classifier(str(tmp_path / "model.hsix")).num_classes == NUM_CLASSES
+
+
+def test_bf16_params_artifact(tmp_path):
+    # half-size artifact; logits stay close to the f32 oracle
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=11)["params"]
+    blob32 = export_classifier(params, CFG, NUM_CLASSES,
+                               batch_sizes=(4,), platforms=("cpu",))
+    blob16 = export_classifier(params, CFG, NUM_CLASSES,
+                               batch_sizes=(4,), platforms=("cpu",),
+                               params_dtype="bfloat16")
+    assert len(blob16) < 0.75 * len(blob32)
+    clf = load_classifier(blob16)
+    x = np.random.default_rng(11).standard_normal(
+        (4, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    want = np.asarray(model.apply({"params": params}, x, False,
+                                  method=HSIMAE.classify))
+    got = clf.predict_logits(x)
+    # bf16 params: ~3 decimal digits of mantissa
+    np.testing.assert_allclose(got, want, rtol=0.08, atol=0.08)
