@@ -12,6 +12,7 @@ PyTorch research codebase Ryan21wy/HSIMAE (see /root/reference):
 * baseline model zoo + benchmark harness     -> :mod:`hsimae_tpu.models.baselines`
 * data/tensor parallel scale-out over a mesh -> :mod:`hsimae_tpu.parallel`
 * Pallas fused kernels for the hot blocks    -> :mod:`hsimae_tpu.ops`
+* AOT serving artifacts (jax.export)         -> :mod:`hsimae_tpu.serving`
 """
 
 from hsimae_tpu.version import __version__
