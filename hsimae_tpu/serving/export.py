@@ -66,6 +66,15 @@ def export_classifier(
         raise ValueError(
             f"checkpoint does not cover {CLS_HEAD_NAME} — wrong num_classes "
             "or a pretrain-only checkpoint?")
+    if uncovered:
+        # unlike classify_scene's transient warning, an export FREEZES the
+        # params into a deployed artifact — random-init leaves are forever
+        import warnings
+
+        warnings.warn(
+            f"export leaves {len(uncovered)} target leaves at random init "
+            "(model args do not match the checkpoint?); the artifact will "
+            "produce meaningless predictions", stacklevel=2)
     params = jax.device_get(params)
     if params_dtype is not None:
         import jax.numpy as jnp
@@ -93,8 +102,7 @@ def export_classifier(
         "num_classes": int(num_classes),
         "batch_sizes": [int(b) for b in sorted(set(batch_sizes))],
         "platforms": list(platforms),
-        "model_cfg": {k: (v if not hasattr(v, "dtype") else str(v))
-                      for k, v in dataclasses.asdict(model_cfg).items()},
+        "model_cfg": dataclasses.asdict(model_cfg),
         "programs": programs,
         "params": params,
     }
@@ -102,14 +110,21 @@ def export_classifier(
 
 
 def _jsonify(tree):
-    """msgpack chokes on dtypes/None inside the cfg dict — stringify them."""
+    """msgpack chokes on dtypes/None inside the cfg dict — stringify them
+    (inverted by :func:`_unjsonify` on load)."""
     if isinstance(tree, dict):
         return {k: _jsonify(v) for k, v in tree.items()}
     if tree is None:
         return "__none__"
     if isinstance(tree, type):  # e.g. jnp.float32 class objects in cfg
-        return str(tree)
+        return str(np.dtype(tree))
     return tree
+
+
+def _unjsonify(tree):
+    if isinstance(tree, dict):
+        return {k: _unjsonify(v) for k, v in tree.items()}
+    return None if tree == "__none__" else tree
 
 
 def save_classifier(path: str, blob: bytes) -> str:
@@ -132,7 +147,8 @@ class ExportedClassifier:
         self.version = int(bundle["version"])
         self.num_classes = int(bundle["num_classes"])
         self.batch_sizes = sorted(int(b) for b in bundle["batch_sizes"])
-        self.model_meta = bundle["model_cfg"]
+        self.model_meta = _unjsonify(bundle["model_cfg"])  # '__none__'->None;
+        # dtype fields are dtype-name strings (e.g. 'bfloat16') for jnp.dtype
         self.params = bundle["params"]
         self._calls = {
             int(b): jax_export.deserialize(bytearray(blob)).call

@@ -76,3 +76,21 @@ def test_record_shape_and_mfu():
     assert 0.95 < rec["mfu"] <= 1.05
     # the driver json.loads the line: must round-trip
     assert json.loads(json.dumps(rec)) == rec
+
+
+def test_archive_is_monotone_and_atomic(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(tmp_path / "b.json"))
+    bench._archive(bench._record(11_000.0))
+    bench._archive(bench._record(9_000.0))  # throttled later run: no downgrade
+    assert bench._stale_fallback()["value"] == 11_000.0
+    bench._archive(bench._record(250_000.0))  # fast session: upgrade
+    assert bench._stale_fallback()["value"] == 250_000.0
+    assert not (tmp_path / "b.json.tmp").exists()  # atomic rename cleaned up
+
+
+def test_archive_overwrites_corrupt_file(tmp_path, monkeypatch):
+    p = tmp_path / "b.json"
+    p.write_text("{truncated")
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(p))
+    bench._archive(bench._record(5_000.0))
+    assert bench._stale_fallback()["value"] == 5_000.0

@@ -157,3 +157,29 @@ def test_bf16_params_artifact(tmp_path):
     got = clf.predict_logits(x)
     # bf16 params: ~3 decimal digits of mantissa
     np.testing.assert_allclose(got, want, rtol=0.08, atol=0.08)
+
+
+def test_metadata_roundtrip_types(artifact_and_oracle):
+    # dtype fields come back as jnp.dtype-able strings; '__none__' inverts
+    import jax.numpy as jnp
+
+    from hsimae_tpu.serving.export import _unjsonify
+
+    path, _ = artifact_and_oracle
+    meta = load_classifier(path).model_meta
+    assert jnp.dtype(meta["compute_dtype"]) == jnp.float32
+    assert meta["embed_dim"] == CFG.embed_dim
+    assert _unjsonify({"a": "__none__", "b": {"c": "__none__"}, "d": 3}) == \
+        {"a": None, "b": {"c": None}, "d": 3}
+
+
+def test_mismatched_model_args_warn():
+    # wrong geometry vs checkpoint where the cls head still matches (the
+    # hard-error path can't catch it): SwiGLU hidden dims differ, the
+    # encoder MLPs stay at random init — the export must say so
+    other = ModelConfig(embed_dim=32, depth=2, s_depth=1, decoder_dim=16,
+                        decoder_depth=1, mlp_ratio=2.0)
+    params = init_model(build_hsi_vit(CFG, NUM_CLASSES), seed=0)["params"]
+    with pytest.warns(UserWarning, match="random init"):
+        export_classifier(params, other, NUM_CLASSES,
+                          batch_sizes=(2,), platforms=("cpu",))
