@@ -1,0 +1,69 @@
+"""End-to-end quickstart: pretrain -> fine-tune -> evaluate -> export.
+
+Runs the full HSIMAE workflow on synthetic scenes (no datasets needed) at a
+tiny budget so it finishes in a few minutes on CPU and in seconds on TPU.
+Swap ``--synthetic`` for ``--scene your_cube.npy --gt your_gt.npy`` (and
+raise the epochs to the reference defaults) for real work — the flags mirror
+the reference drivers (`/root/reference/Model_Pretraining.py:119-134`,
+`Model_Finetuning.py:305-329`).
+
+    python examples/quickstart.py [workdir]
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+
+def main(workdir: str = "/tmp/hsimae_quickstart") -> None:
+    wd = pathlib.Path(workdir)
+
+    from hsimae_tpu.cli import evaluate, export, finetune, pretrain
+
+    # 1. MAE pretraining on a 3-scene synthetic corpus (GWPCA to 32 bands,
+    #    dense step-3 cuts, spatial-spectral masking at ratio 0.5)
+    pretrain.main([
+        "--synthetic", "--synthetic-scenes", "3", "--synthetic-size", "48",
+        "--model", "HSIMAE-S", "--epochs", "2", "--batch-size", "256",
+        "--workdir", str(wd / "pt"),
+    ])
+
+    # 2. Dual-branch fine-tuning: 10 labeled samples/class + the scene's
+    #    unlabeled pool (CE on labels + 10x masked reconstruction)
+    finetune.main([
+        "--synthetic", "--samples-per-class", "10", "--epochs", "10",
+        "--model", "HSIMAE-S",
+        "--pretrained", str(wd / "pt" / "params_final.msgpack"),
+        "--workdir", str(wd / "ft"),
+    ])
+
+    # 3. Full-scene per-pixel evaluation (test pixels only) + colormaps.
+    #    --seed must match finetune's (default 3407) so the SAME synthetic
+    #    scene is regenerated and the SAME train split is zeroed from the gt
+    evaluate.main([
+        "--synthetic", "--model", "HSIMAE-S",
+        "--params", str(wd / "ft" / "finetuned.msgpack"),
+        "--num-classes", "7", "--samples-per-class", "10", "--seed", "3407",
+        "--out", str(wd / "maps"),
+    ])
+
+    # 4. Export a deployable artifact (static-batch StableHLO + params)
+    export.main([
+        "--model", "HSIMAE-S",
+        "--params", str(wd / "ft" / "finetuned.msgpack"),
+        "--num-classes", "7", "--batch-sizes", "1", "256",
+        "--output", str(wd / "model.hsix"),
+    ])
+
+    # 5. Serve from the artifact — no flax / model source needed
+    from hsimae_tpu.serving import load_classifier
+
+    clf = load_classifier(str(wd / "model.hsix"))
+    patches = np.random.default_rng(0).standard_normal(
+        (5, 9, 9, 32)).astype(np.float32)
+    print("served labels:", clf.predict(patches))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -67,6 +67,11 @@ def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--synthetic-bands", type=int, default=103)
     p.add_argument("--synthetic-classes", type=int, default=6)
+    p.add_argument("--synthetic-seed", type=int, default=None,
+                   help="scene-generation seed; defaults to --seed. Set it "
+                        "explicitly when chaining CLIs whose --seed defaults "
+                        "differ (e.g. finetune then evaluate), so every step "
+                        "sees the SAME generated scene")
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
 
 
@@ -74,10 +79,13 @@ def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
     if args.synthetic:
         from hsimae_tpu.data.synthetic import make_synthetic_scene
 
+        seed = getattr(args, "synthetic_seed", None)
+        if seed is None:
+            seed = getattr(args, "seed", 0)
         return make_synthetic_scene(
             args.synthetic_size, args.synthetic_size,
             bands=args.synthetic_bands, n_classes=args.synthetic_classes,
-            seed=getattr(args, "seed", 0),
+            seed=seed,
         )
     if getattr(args, "dataset", None):
         from hsimae_tpu.data.datasets import load_dataset
@@ -92,11 +100,14 @@ def load_pretrain_scenes(args) -> List[np.ndarray]:
     if args.synthetic:
         from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
 
+        seed = getattr(args, "synthetic_seed", None)
+        if seed is None:
+            seed = getattr(args, "seed", 0)
         return make_synthetic_pretrain_scenes(
             n_scenes=args.synthetic_scenes,
             size_range=(args.synthetic_size // 2, args.synthetic_size),
             bands=args.synthetic_bands,
-            seed=getattr(args, "seed", 0),
+            seed=seed,
         )
     if not args.scenes:
         raise SystemExit("need --scenes *.npy, or --synthetic")
