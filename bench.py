@@ -320,6 +320,28 @@ def _stale_fallback() -> dict | None:
     return rec
 
 
+LIVENESS_TIMEOUT_S = 120.0
+
+
+def _tunnel_alive(env: dict) -> bool:
+    """Bounded tunnel-liveness probe: during a full outage even
+    ``jax.devices()`` hangs (round 3 logged 5+ h windows), so a hung FULL
+    child eats 1500 s of budget learning nothing. Probing first makes an
+    outage cycle cost ~2.5 min instead, giving the parent ~8x more chances
+    to catch the tunnel coming back inside its budget. A passing probe
+    costs ~20-30 s (interpreter + backend init) and is only run before the
+    first child and after a no-output child (known-suspect tunnel)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env=env, capture_output=True, timeout=LIVENESS_TIMEOUT_S)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except Exception:  # noqa: BLE001 — a broken probe must not block
+        return True
+
+
 def _last_json_line(text: str):
     for line in reversed((text or "").splitlines()):
         if line.startswith("{"):
@@ -351,6 +373,16 @@ def parent():
             break
         mode = "full" if best is None else "fastonly"
         env["HSIMAE_BENCH_CHILD"] = mode
+        if (attempt == 0 or consecutive_failures > 0) \
+                and not _tunnel_alive(env):
+            print(f"# attempt {attempt}: tunnel liveness probe timed out "
+                  f"({LIVENESS_TIMEOUT_S:.0f}s); backing off")
+            attempt += 1
+            consecutive_failures += 1
+            sleep_s = RETRY_SLEEP_S * min(2.0, 1.0 + consecutive_failures / 4)
+            time.sleep(min(sleep_s,
+                           max(0.0, BUDGET_S - (time.monotonic() - t_start))))
+            continue
         stdout, stderr = "", ""
         # every child is bounded: the runtime sometimes wedges sessions for
         # tens of minutes (even jax.devices() hangs — "molasses" periods,

@@ -16,7 +16,12 @@ import sys
 import numpy as np
 
 
-def main(workdir: str = "/tmp/hsimae_quickstart") -> None:
+def main(workdir: str = "/tmp/hsimae_quickstart", *,
+         scenes: int = 3, scene_size: int = 48,
+         pt_epochs: int = 2, ft_epochs: int = 10) -> None:
+    """The keyword budgets exist so the smoke test (tests/test_quickstart.py)
+    can run this exact workflow at an even smaller size; the defaults are the
+    documented few-minute CPU budget."""
     wd = pathlib.Path(workdir)
 
     from hsimae_tpu.cli import evaluate, export, finetune, pretrain
@@ -24,15 +29,18 @@ def main(workdir: str = "/tmp/hsimae_quickstart") -> None:
     # 1. MAE pretraining on a 3-scene synthetic corpus (GWPCA to 32 bands,
     #    dense step-3 cuts, spatial-spectral masking at ratio 0.5)
     pretrain.main([
-        "--synthetic", "--synthetic-scenes", "3", "--synthetic-size", "48",
-        "--model", "HSIMAE-S", "--epochs", "2", "--batch-size", "256",
+        "--synthetic", "--synthetic-scenes", str(scenes),
+        "--synthetic-size", str(scene_size),
+        "--model", "HSIMAE-S", "--epochs", str(pt_epochs),
+        "--batch-size", "256",
         "--workdir", str(wd / "pt"),
     ])
 
     # 2. Dual-branch fine-tuning: 10 labeled samples/class + the scene's
     #    unlabeled pool (CE on labels + 10x masked reconstruction)
     finetune.main([
-        "--synthetic", "--samples-per-class", "10", "--epochs", "10",
+        "--synthetic", "--samples-per-class", "10",
+        "--epochs", str(ft_epochs),
         "--model", "HSIMAE-S",
         "--pretrained", str(wd / "pt" / "params_final.msgpack"),
         "--workdir", str(wd / "ft"),
@@ -62,7 +70,9 @@ def main(workdir: str = "/tmp/hsimae_quickstart") -> None:
     clf = load_classifier(str(wd / "model.hsix"))
     patches = np.random.default_rng(0).standard_normal(
         (5, 9, 9, 32)).astype(np.float32)
-    print("served labels:", clf.predict(patches))
+    labels = clf.predict(patches)
+    print("served labels:", labels)
+    return labels
 
 
 if __name__ == "__main__":

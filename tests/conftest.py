@@ -17,3 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# The suite is compile-dominated (hundreds of distinct jit programs); a
+# persistent compilation cache cuts warm re-runs to a fraction of the cold
+# time. Keys are program hashes, so code changes invalidate naturally.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HSIMAE_TEST_COMP_CACHE", "/tmp/jax_test_comp_cache"))
+# CPU test compiles are mostly <1s each (the default cache threshold), but
+# there are hundreds of them — cache everything.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -94,3 +94,28 @@ def test_archive_overwrites_corrupt_file(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "ARCHIVE_PATH", str(p))
     bench._archive(bench._record(5_000.0))
     assert bench._stale_fallback()["value"] == 5_000.0
+
+
+def test_tunnel_alive_timeout_means_dead(monkeypatch):
+    import subprocess as sp
+
+    def hang(*a, **k):
+        raise sp.TimeoutExpired(cmd=a[0], timeout=k.get("timeout"))
+
+    monkeypatch.setattr(bench.subprocess, "run", hang)
+    assert bench._tunnel_alive({}) is False
+
+
+def test_tunnel_alive_success_and_probe_errors_fail_open(monkeypatch):
+    class Ok:
+        returncode = 0
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Ok())
+    assert bench._tunnel_alive({}) is True
+
+    def boom(*a, **k):
+        raise OSError("no such interpreter")
+
+    # a broken probe must never block measurement
+    monkeypatch.setattr(bench.subprocess, "run", boom)
+    assert bench._tunnel_alive({}) is True
