@@ -18,6 +18,14 @@ If a run measures NOTHING (full tunnel outage), the archived best from
 ``measured_at``/``git_rev`` provenance — a labeled stale number beats the
 unparseable silence round 2 recorded.
 
+Single-slot protocol: only one bench parent may use the TPU at a time (two
+concurrent jax processes wedge this runtime). The parent claims a pidfile
+slot (``/tmp/hsimae_bench_parent.pid``); watchers run with
+``HSIMAE_BENCH_YIELD=1`` and print ``{"skip": "slot_busy"}`` when the slot
+is held, while a default parent (the driver's round-end run) takes the slot
+over by SIGTERMing the old parent — which kills its child, emits its
+best-so-far, and exits.
+
 ``vs_baseline``: the reference publishes no throughput numbers (SURVEY.md §6),
 so the baseline is an estimate of the reference's torch pipeline on an A100:
 the torch loop is host-bound (python DataLoader with num_workers=0, per-step
@@ -43,9 +51,19 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
+
+if os.environ.get("HSIMAE_FORCE_CPU"):
+    # Keep this process (and, via env inheritance, its children) off the TPU
+    # tunnel — used by the contract tests. The axon sitecustomize sets
+    # jax_platforms via jax.config (overriding the JAX_PLATFORMS env var),
+    # so the config must be updated before backend init (conftest recipe).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 REF_A100_PATCHES_PER_SEC = 100_000.0  # generous estimate; see module docstring
 PEAK_TFLOPS = 197.0                   # v5e-class bf16 peak
@@ -322,6 +340,140 @@ def _stale_fallback() -> dict | None:
 
 LIVENESS_TIMEOUT_S = 120.0
 
+# --- single-slot protocol -------------------------------------------------
+# Only ONE bench parent (and its jax child) may use the TPU at a time: two
+# concurrent jax processes wedge this tunneled runtime (CLAUDE.md rule 1).
+# Recovery watchers hunt fast sessions between rounds, and the driver runs
+# its own `python bench.py` at round end — without coordination the two
+# collide. Protocol: the parent claims a pidfile slot. A parent started with
+# HSIMAE_BENCH_YIELD=1 (watchers) exits immediately when the slot is held by
+# a live bench parent; a default parent (the driver) TAKES OVER — SIGTERM the
+# old parent (whose handler kills its child and lets it emit best-so-far),
+# then claims the slot. Newest driver wins; watchers always yield.
+SLOT_DIR = os.environ.get("HSIMAE_BENCH_SLOT_DIR", "/tmp")
+PARENT_PID_PATH = os.path.join(SLOT_DIR, "hsimae_bench_parent.pid")
+CHILD_PID_PATH = os.path.join(SLOT_DIR, "hsimae_bench_child.pid")
+
+_terminate = False
+_child_proc: subprocess.Popen | None = None
+
+
+def _on_sigterm(signum, frame):  # noqa: ARG001 — signal handler signature
+    """Takeover notice: stop the current child and let the loop wind down
+    (the after-loop path still prints best-so-far / the stale fallback)."""
+    global _terminate
+    _terminate = True
+    p = _child_proc
+    if p is not None:
+        try:
+            p.kill()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _read_pid(path: str) -> int | None:
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _is_bench_pid(pid: int) -> bool:
+    """Guard against recycled pids from stale pidfiles: only a process whose
+    cmdline mentions bench.py may be signalled."""
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return b"bench.py" in f.read()
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _acquire_slot(yield_if_busy: bool) -> bool:
+    old = _read_pid(PARENT_PID_PATH)
+    if old and old != os.getpid() and _alive(old) and _is_bench_pid(old):
+        if yield_if_busy:
+            return False
+        print(f"# taking over bench slot from parent pid {old}",
+              file=sys.stderr)
+        try:
+            os.kill(old, signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+        deadline = time.monotonic() + 150.0
+        while _alive(old) and time.monotonic() < deadline:
+            time.sleep(1.0)
+        if _alive(old) and _is_bench_pid(old):
+            try:
+                os.kill(old, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+        child = _read_pid(CHILD_PID_PATH)
+        if child and _alive(child) and _is_bench_pid(child):
+            try:
+                os.kill(child, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            time.sleep(2.0)
+    try:
+        with open(PARENT_PID_PATH, "w") as f:
+            f.write(str(os.getpid()))
+    except Exception as e:  # noqa: BLE001 — an unwritable /tmp must not block
+        print(f"# slot pidfile write failed: {e}", file=sys.stderr)
+    return True
+
+
+def _release_slot() -> None:
+    try:
+        if _read_pid(PARENT_PID_PATH) == os.getpid():
+            os.remove(PARENT_PID_PATH)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def _run_child(cmd: list, env: dict, timeout: float):
+    """Bounded child with pid bookkeeping so a takeover can clean it up.
+    Returns (stdout, stderr, timed_out); partial output survives a kill."""
+    global _child_proc
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    _child_proc = proc
+    try:
+        with open(CHILD_PID_PATH, "w") as f:
+            f.write(str(proc.pid))
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+        timed_out = False
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        stdout, stderr = proc.communicate()
+        timed_out = True
+    finally:
+        _child_proc = None
+        try:
+            os.remove(CHILD_PID_PATH)
+        except Exception:  # noqa: BLE001
+            pass
+    return stdout or "", stderr or "", timed_out
+
+
+def _sleep_interruptible(seconds: float) -> None:
+    end = time.monotonic() + seconds
+    while not _terminate and time.monotonic() < end:
+        time.sleep(min(1.0, max(0.0, end - time.monotonic())))
+
 
 def _tunnel_alive(env: dict) -> bool:
     """Bounded tunnel-liveness probe: during a full outage even
@@ -331,9 +483,14 @@ def _tunnel_alive(env: dict) -> bool:
     to catch the tunnel coming back inside its budget. A passing probe
     costs ~20-30 s (interpreter + backend init) and is only run before the
     first child and after a no-output child (known-suspect tunnel)."""
+    probe_src = (
+        "import os\n"
+        "if os.environ.get('HSIMAE_FORCE_CPU'):\n"
+        "    import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax; jax.devices()\n")
     try:
         out = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", probe_src],
             env=env, capture_output=True, timeout=LIVENESS_TIMEOUT_S)
         return out.returncode == 0
     except subprocess.TimeoutExpired:
@@ -353,6 +510,19 @@ def _last_json_line(text: str):
 
 
 def parent():
+    yield_mode = os.environ.get("HSIMAE_BENCH_YIELD") == "1"
+    if not _acquire_slot(yield_if_busy=yield_mode):
+        # another bench parent owns the TPU; a watcher must not collide
+        print(json.dumps({"skip": "slot_busy"}), flush=True)
+        return
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    try:
+        _parent_loop()
+    finally:
+        _release_slot()
+
+
+def _parent_loop():
     t_start = time.monotonic()
     best = None
     # Provisional first line: if the driver's timeout kills this parent while
@@ -365,7 +535,7 @@ def parent():
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=CACHE_DIR)
     attempt = 0
     consecutive_failures = 0
-    while True:
+    while not _terminate:
         remaining = BUDGET_S - (time.monotonic() - t_start)
         # a fresh full measurement needs ~300-700s cold / ~150s warm-cache;
         # don't start one that can't finish unless we still have no number
@@ -380,9 +550,12 @@ def parent():
             attempt += 1
             consecutive_failures += 1
             sleep_s = RETRY_SLEEP_S * min(2.0, 1.0 + consecutive_failures / 4)
-            time.sleep(min(sleep_s,
-                           max(0.0, BUDGET_S - (time.monotonic() - t_start))))
+            _sleep_interruptible(
+                min(sleep_s,
+                    max(0.0, BUDGET_S - (time.monotonic() - t_start))))
             continue
+        if _terminate:  # a takeover arrived during the liveness probe
+            break
         stdout, stderr = "", ""
         # every child is bounded: the runtime sometimes wedges sessions for
         # tens of minutes (even jax.devices() hangs — "molasses" periods,
@@ -394,17 +567,12 @@ def parent():
         child_timeout = min(600.0 if mode == "fastonly" else 1500.0,
                             child_timeout)
         try:
-            out = subprocess.run(
+            stdout, stderr, timed_out = _run_child(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=child_timeout,
-            )
-            stdout, stderr = out.stdout, out.stderr
-        except subprocess.TimeoutExpired as e:  # partial output still counts
-            stdout = e.output.decode() if isinstance(e.output, bytes) else (e.output or "")
-            stderr = e.stderr.decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
-            print(f"# attempt {attempt} timed out; parsing partial output",
-                  file=sys.stderr)
+                env, child_timeout)
+            if timed_out:  # partial output still counts
+                print(f"# attempt {attempt} timed out; parsing partial "
+                      "output", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# attempt {attempt} failed: {e}", file=sys.stderr)
         for line in stderr.splitlines():  # child detail -> stderr only
@@ -423,8 +591,9 @@ def parent():
             # back off up to 2x the base sleep but NEVER stop retrying —
             # an inline fallback would just hang unbounded in the same wedge
             sleep_s = RETRY_SLEEP_S * min(2.0, 1.0 + consecutive_failures / 4)
-            time.sleep(min(sleep_s,
-                           max(0.0, BUDGET_S - (time.monotonic() - t_start))))
+            _sleep_interruptible(
+                min(sleep_s,
+                    max(0.0, BUDGET_S - (time.monotonic() - t_start))))
             continue
         consecutive_failures = 0
         print(f"# attempt {attempt - 1}: {rec['value']} {rec['unit']}")

@@ -20,8 +20,9 @@ for i in $(seq 1 660); do
   if ps aux | grep 'tpu_init' | grep -v grep > /dev/null; then
     log "tunnel relay detected (iter $i); settling 30s"
     sleep 30
-    log "launching bench.py"
-    HSIMAE_BENCH_BUDGET_S="$BUDGET" timeout $((BUDGET + 300)) \
+    log "launching bench.py (yield mode: the driver's round-end bench wins)"
+    HSIMAE_BENCH_YIELD=1 HSIMAE_BENCH_BUDGET_S="$BUDGET" \
+      timeout $((BUDGET + 300)) \
       python "$(dirname "$0")/../bench.py" \
       > /tmp/bench_recovery.log 2> /tmp/bench_recovery.err
     log "bench.py exited rc=$?"
