@@ -353,6 +353,9 @@ LIVENESS_TIMEOUT_S = 120.0
 SLOT_DIR = os.environ.get("HSIMAE_BENCH_SLOT_DIR", "/tmp")
 PARENT_PID_PATH = os.path.join(SLOT_DIR, "hsimae_bench_parent.pid")
 CHILD_PID_PATH = os.path.join(SLOT_DIR, "hsimae_bench_child.pid")
+SLOT_LOCK_PATH = os.path.join(SLOT_DIR, "hsimae_bench_slot.lock")
+
+_slot_fd = None  # keeps the flock alive for the parent's lifetime
 
 _terminate = False
 _child_proc: subprocess.Popen | None = None
@@ -399,46 +402,107 @@ def _is_bench_pid(pid: int) -> bool:
         return False
 
 
+def _try_flock() -> bool:
+    """Atomically claim the slot via flock (kernel-released on ANY process
+    death, including SIGKILL — no stale-lock problem, no check-then-write
+    race between two parents starting simultaneously)."""
+    global _slot_fd
+    import fcntl
+
+    if _slot_fd is None:
+        _slot_fd = open(SLOT_LOCK_PATH, "w")  # noqa: SIM115 — lifetime lock
+    try:
+        fcntl.flock(_slot_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return True
+    except OSError:
+        return False
+
+
+def _kill_orphan_child() -> None:
+    """A SIGKILLed parent never runs _run_child's cleanup: its jax child
+    survives as an orphan still holding the TPU. The child pidfile is the
+    handle; only a live process whose cmdline mentions bench.py is killed
+    (recycled-pid guard)."""
+    child = _read_pid(CHILD_PID_PATH)
+    if child and _alive(child) and _is_bench_pid(child):
+        print(f"# killing orphaned bench child pid {child}", file=sys.stderr)
+        try:
+            os.kill(child, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        time.sleep(2.0)
+    try:
+        os.remove(CHILD_PID_PATH)
+    except OSError:
+        pass
+
+
 def _acquire_slot(yield_if_busy: bool) -> bool:
+    if _try_flock():
+        _kill_orphan_child()  # previous parent may have died uncleanly
+        try:
+            with open(PARENT_PID_PATH, "w") as f:
+                f.write(str(os.getpid()))
+        except Exception as e:  # noqa: BLE001 — unwritable /tmp: don't block
+            print(f"# slot pidfile write failed: {e}", file=sys.stderr)
+        return True
+    if yield_if_busy:
+        return False
+    # takeover: ask the live holder to wind down (its SIGTERM handler kills
+    # its child and lets it emit best-so-far), then claim the freed lock
     old = _read_pid(PARENT_PID_PATH)
     if old and old != os.getpid() and _alive(old) and _is_bench_pid(old):
-        if yield_if_busy:
-            return False
         print(f"# taking over bench slot from parent pid {old}",
               file=sys.stderr)
         try:
             os.kill(old, signal.SIGTERM)
         except ProcessLookupError:
             pass
-        deadline = time.monotonic() + 150.0
-        while _alive(old) and time.monotonic() < deadline:
-            time.sleep(1.0)
-        if _alive(old) and _is_bench_pid(old):
+    deadline = time.monotonic() + 150.0
+    while time.monotonic() < deadline:
+        if _try_flock():
+            _kill_orphan_child()
             try:
-                os.kill(old, signal.SIGKILL)
-            except ProcessLookupError:
+                with open(PARENT_PID_PATH, "w") as f:
+                    f.write(str(os.getpid()))
+            except Exception:  # noqa: BLE001
                 pass
-        child = _read_pid(CHILD_PID_PATH)
-        if child and _alive(child) and _is_bench_pid(child):
-            try:
-                os.kill(child, signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-            time.sleep(2.0)
-    try:
-        with open(PARENT_PID_PATH, "w") as f:
-            f.write(str(os.getpid()))
-    except Exception as e:  # noqa: BLE001 — an unwritable /tmp must not block
-        print(f"# slot pidfile write failed: {e}", file=sys.stderr)
-    return True
+            return True
+        time.sleep(1.0)
+    if old and _alive(old) and _is_bench_pid(old):
+        try:
+            os.kill(old, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        time.sleep(2.0)
+    acquired = _try_flock()
+    if acquired:
+        _kill_orphan_child()
+        try:
+            with open(PARENT_PID_PATH, "w") as f:
+                f.write(str(os.getpid()))
+        except Exception:  # noqa: BLE001
+            pass
+    else:
+        print("# slot takeover failed (holder would not release); "
+              "proceeding WITHOUT the slot is forbidden — exiting",
+              file=sys.stderr)
+    return acquired
 
 
 def _release_slot() -> None:
+    global _slot_fd
     try:
         if _read_pid(PARENT_PID_PATH) == os.getpid():
             os.remove(PARENT_PID_PATH)
     except Exception:  # noqa: BLE001
         pass
+    if _slot_fd is not None:
+        try:
+            _slot_fd.close()  # closes fd -> kernel drops the flock
+        except Exception:  # noqa: BLE001
+            pass
+        _slot_fd = None
 
 
 def _run_child(cmd: list, env: dict, timeout: float):
@@ -509,11 +573,35 @@ def _last_json_line(text: str):
     return None
 
 
+def hold_slot():
+    """Manual-TPU-session mutex: claim the bench slot and sleep until
+    killed. Run ``python bench.py --hold &`` before hand-driven TPU work
+    (diag scripts, reference-scale pretrains) so yield-mode watcher benches
+    skip instead of colliding with it. A driver round-end bench still takes
+    the slot over (SIGTERM) — by design, since its artifact has priority."""
+    if not _acquire_slot(yield_if_busy=True):
+        print("slot busy; not holding", file=sys.stderr)
+        sys.exit(1)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+    print(f"# holding TPU slot (pid {os.getpid()}); kill to release",
+          file=sys.stderr)
+    try:
+        while True:
+            time.sleep(3600)
+    finally:
+        _release_slot()
+
+
 def parent():
     yield_mode = os.environ.get("HSIMAE_BENCH_YIELD") == "1"
     if not _acquire_slot(yield_if_busy=yield_mode):
-        # another bench parent owns the TPU; a watcher must not collide
-        print(json.dumps({"skip": "slot_busy"}), flush=True)
+        if yield_mode:
+            # another bench parent owns the TPU; a watcher must not collide
+            print(json.dumps({"skip": "slot_busy"}), flush=True)
+        else:
+            # takeover failed (holder would not release): still end with a
+            # parseable, honestly-labeled record for the driver
+            print(json.dumps(_final_record(None)), flush=True)
         return
     signal.signal(signal.SIGTERM, _on_sigterm)
     try:
@@ -633,6 +721,8 @@ def _final_record(best: dict | None) -> dict:
 
 
 if __name__ == "__main__":
+    if "--hold" in sys.argv:
+        hold_slot()
     child_mode = os.environ.get("HSIMAE_BENCH_CHILD")
     if child_mode:
         main(fast_only=child_mode == "fastonly")

@@ -75,13 +75,21 @@ def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
 
 
+def resolve_synthetic_seed(args) -> int:
+    """--synthetic-seed when given, else --seed: scene generation follows
+    the run seed unless explicitly decoupled (needed when chaining CLIs
+    whose --seed defaults differ but that must see the SAME scene)."""
+    seed = getattr(args, "synthetic_seed", None)
+    if seed is None:
+        seed = getattr(args, "seed", 0)
+    return seed
+
+
 def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
     if args.synthetic:
         from hsimae_tpu.data.synthetic import make_synthetic_scene
 
-        seed = getattr(args, "synthetic_seed", None)
-        if seed is None:
-            seed = getattr(args, "seed", 0)
+        seed = resolve_synthetic_seed(args)
         return make_synthetic_scene(
             args.synthetic_size, args.synthetic_size,
             bands=args.synthetic_bands, n_classes=args.synthetic_classes,
@@ -100,9 +108,7 @@ def load_pretrain_scenes(args) -> List[np.ndarray]:
     if args.synthetic:
         from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
 
-        seed = getattr(args, "synthetic_seed", None)
-        if seed is None:
-            seed = getattr(args, "seed", 0)
+        seed = resolve_synthetic_seed(args)
         return make_synthetic_pretrain_scenes(
             n_scenes=args.synthetic_scenes,
             size_range=(args.synthetic_size // 2, args.synthetic_size),

@@ -12,7 +12,6 @@ import argparse
 import numpy as np
 
 from hsimae_tpu.cli.common import (
-    add_data_args,
     add_model_args,
     load_pretrain_scenes,
     model_config,
@@ -33,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-scenes", type=int, default=3)
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--synthetic-bands", type=int, default=103)
+    p.add_argument("--synthetic-seed", type=int, default=None,
+                   help="scene-generation seed; defaults to --seed "
+                        "(decouple when comparing runs that must share a corpus)")
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
     p.add_argument("--scene-dtype", choices=["float32", "bfloat16"],
                    default="float32",

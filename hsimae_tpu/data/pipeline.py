@@ -145,9 +145,11 @@ class MultiScenePatchSource:
             widths.append(w)
             bases.append(offset)
             offset += h * w
-            # cast per-scene BEFORE concat: halves peak host memory too
+            # cast per-scene BEFORE concat (halves peak host memory for
+            # narrow storage dtypes); copy=False keeps the default f32 path
+            # zero-copy for already-contiguous scenes
             flats.append(np.ascontiguousarray(s).reshape(-1, c)
-                         .astype(storage_dtype))
+                         .astype(storage_dtype, copy=False))
         self._flat = jnp.asarray(np.concatenate(flats, axis=0))
         self._widths = jnp.asarray(np.array(widths, dtype=np.int32))
         self._bases = jnp.asarray(np.array(bases, dtype=np.int32))

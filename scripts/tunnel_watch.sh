@@ -12,6 +12,12 @@
 #   nohup scripts/tunnel_watch.sh [budget_s] >/dev/null 2>&1 &
 #
 # Log: /tmp/tunnel_watch.log; bench output: /tmp/bench_recovery.{log,err}.
+#
+# Coordination: the bench run uses HSIMAE_BENCH_YIELD=1 so it skips when
+# another bench parent holds the TPU slot. For MANUAL TPU work (diag
+# scripts, reference-scale pretrains) hold the slot first —
+#   python bench.py --hold & echo $! > /tmp/hold.pid
+# — so this watcher's bench yields instead of colliding with your session.
 
 BUDGET="${1:-2400}"
 log() { echo "$(date -u +%H:%M:%S) $*" >> /tmp/tunnel_watch.log; }
@@ -26,11 +32,16 @@ for i in $(seq 1 660); do
       python "$(dirname "$0")/../bench.py" \
       > /tmp/bench_recovery.log 2> /tmp/bench_recovery.err
     log "bench.py exited rc=$?"
-    if grep -q '^{' /tmp/bench_recovery.log; then
-      log "JSON captured: $(grep '^{' /tmp/bench_recovery.log | tail -1)"
+    # success = a FRESH measurement line: bench.py always prints the archived
+    # provisional record (stale:true) and prints {"skip": ...} in yield mode,
+    # so a bare '^{' grep would declare victory on every invocation.
+    if grep '^{' /tmp/bench_recovery.log | grep -v '"stale"' \
+         | grep -v '"skip"' | grep -q '"value"'; then
+      log "fresh measurement: $(grep '^{' /tmp/bench_recovery.log \
+        | grep -v '"stale"' | grep -v '"skip"' | tail -1)"
       exit 0
     fi
-    log "no JSON line; tunnel may have flapped — resuming watch"
+    log "no fresh measurement (outage flap / slot busy / throttle-only) — resuming watch"
     sleep 120
   fi
   sleep 60

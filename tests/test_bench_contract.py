@@ -119,10 +119,18 @@ def test_final_record_prefers_banked_fast_number(tmp_path, monkeypatch):
 
 def _spawn_fake_bench_parent(tmp_path):
     """A live process whose cmdline mentions bench.py (the recycled-pid
-    guard keys on that), parked in a long sleep like a hunting watcher."""
+    guard keys on that), HOLDING the slot flock like a hunting watcher."""
     fake = tmp_path / "bench.py"
-    fake.write_text("import time\ntime.sleep(300)\n")
-    proc = subprocess.Popen([sys.executable, str(fake)])
+    fake.write_text(
+        "import fcntl, sys, time\n"
+        "fd = open(sys.argv[1], 'w')\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "print('locked', flush=True)\n"
+        "time.sleep(300)\n")
+    proc = subprocess.Popen(
+        [sys.executable, str(fake), str(tmp_path / "hsimae_bench_slot.lock")],
+        stdout=subprocess.PIPE, text=True)
+    assert proc.stdout.readline().strip() == "locked"
     (tmp_path / "hsimae_bench_parent.pid").write_text(str(proc.pid))
     return proc
 
@@ -168,17 +176,24 @@ def test_default_mode_takes_over_slot(tmp_path):
         proc.wait()
 
 
+def _patch_slot_paths(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "PARENT_PID_PATH",
+                        str(tmp_path / "hsimae_bench_parent.pid"))
+    monkeypatch.setattr(bench, "CHILD_PID_PATH",
+                        str(tmp_path / "hsimae_bench_child.pid"))
+    monkeypatch.setattr(bench, "SLOT_LOCK_PATH",
+                        str(tmp_path / "hsimae_bench_slot.lock"))
+
+
 def test_stale_slot_pidfile_is_ignored(tmp_path, monkeypatch):
-    # a dead pid (or a recycled non-bench pid) must not block acquisition
+    # a dead pid (or a recycled non-bench pid) must not block acquisition:
+    # the flock is what gates the slot, and it dies with its holder
     sleeper = subprocess.Popen([sys.executable, "-c",
                                 "import time; time.sleep(60)"])
     try:
         (tmp_path / "hsimae_bench_parent.pid").write_text(str(sleeper.pid))
-        monkeypatch.setattr(bench, "PARENT_PID_PATH",
-                            str(tmp_path / "hsimae_bench_parent.pid"))
-        monkeypatch.setattr(bench, "CHILD_PID_PATH",
-                            str(tmp_path / "hsimae_bench_child.pid"))
-        # cmdline has no bench.py -> treated as recycled pid: acquire wins
+        _patch_slot_paths(monkeypatch, tmp_path)
+        # nobody holds the flock -> acquire wins despite the live stale pid
         assert bench._acquire_slot(yield_if_busy=True) is True
         assert sleeper.poll() is None  # and the stranger was NOT signalled
         assert bench._read_pid(bench.PARENT_PID_PATH) == os.getpid()
@@ -187,6 +202,30 @@ def test_stale_slot_pidfile_is_ignored(tmp_path, monkeypatch):
     finally:
         sleeper.kill()
         sleeper.wait()
+
+
+def test_acquire_kills_orphaned_child_of_dead_parent(tmp_path, monkeypatch):
+    # a SIGKILLed parent leaves its jax child orphaned (no cleanup ran); the
+    # next parent must reap it before spawning its own child
+    fake = tmp_path / "bench.py"
+    fake.write_text("import time\ntime.sleep(300)\n")
+    orphan = subprocess.Popen([sys.executable, str(fake)])
+    try:
+        (tmp_path / "hsimae_bench_child.pid").write_text(str(orphan.pid))
+        # parent pidfile points at a DEAD pid (parent was SIGKILLed)
+        (tmp_path / "hsimae_bench_parent.pid").write_text("999999")
+        _patch_slot_paths(monkeypatch, tmp_path)
+        assert bench._acquire_slot(yield_if_busy=True) is True
+        deadline = time.monotonic() + 30  # generous under parallel-suite load
+        while orphan.poll() is None and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert orphan.poll() is not None, "orphaned child was not reaped"
+        assert not (tmp_path / "hsimae_bench_child.pid").exists()
+        bench._release_slot()
+    finally:
+        if orphan.poll() is None:
+            orphan.kill()
+        orphan.wait()
 
 
 def test_sigterm_makes_parent_emit_best_so_far(tmp_path):
