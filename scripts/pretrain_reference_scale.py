@@ -60,10 +60,16 @@ def prepare():
 
 def train():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tpu_session import ensure_fast_session
+    from tpu_session import ensure_fast_session, hold_bench_slot
 
-    ensure_fast_session()
+    # hold the bench slot BEFORE the fast-session probe: the holder pid
+    # rides the environment through ensure_fast_session's re-execs
+    with hold_bench_slot():
+        ensure_fast_session()
+        _train_inner()
 
+
+def _train_inner():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")

@@ -61,3 +61,61 @@ def ensure_fast_session(max_tries: int = 8, threshold_ms: float = 40.0,
     # replace this process with a fresh attempt (new session, new mode draw)
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
     raise RuntimeError("unreachable")  # pragma: no cover
+
+
+import contextlib
+import signal
+
+_HOLD_ENV = "HSIMAE_HOLD_PID"
+
+
+def _is_hold_pid(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmd = f.read()
+        return b"bench.py" in cmd and b"--hold" in cmd
+    except OSError:
+        return False
+
+
+@contextlib.contextmanager
+def hold_bench_slot():
+    """Hold bench.py's single-TPU-slot flock while a manual TPU job runs, so
+    yield-mode watcher benches print {"skip": "slot_busy"} and exit instead
+    of colliding with it (two concurrent jax processes wedge this runtime).
+
+    Spawns ``bench.py --hold`` — a non-jax process that just holds the flock;
+    the kernel releases the lock however it dies, so a crashed job cannot
+    leave the slot stuck. Survives ``ensure_fast_session``'s re-exec: the
+    holder pid travels in the environment and the re-exec'd image adopts it
+    instead of spawning (and leaking) a second holder. Enter this context
+    BEFORE calling ensure_fast_session so the probe window is covered too.
+    A driver round-end bench still preempts by design (its artifact has
+    priority); nothing here can prevent that.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get(_HOLD_ENV)
+    proc = None
+    if existing and existing.isdigit() and _is_hold_pid(int(existing)):
+        pid = int(existing)  # adopted from the pre-re-exec image
+    else:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "bench.py"), "--hold"],
+            stderr=subprocess.DEVNULL)
+        pid = proc.pid
+        os.environ[_HOLD_ENV] = str(pid)
+    try:
+        yield
+    finally:
+        os.environ.pop(_HOLD_ENV, None)
+        if _is_hold_pid(pid):
+            try:
+                os.kill(pid, signal.SIGTERM)
+            except OSError:
+                pass
+        if proc is not None:
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()

@@ -259,6 +259,32 @@ def test_sigterm_makes_parent_emit_best_so_far(tmp_path):
             proc.wait()
 
 
+def test_hold_bench_slot_blocks_yield_benches(tmp_path, monkeypatch):
+    monkeypatch.setenv("HSIMAE_BENCH_SLOT_DIR", str(tmp_path))
+    monkeypatch.syspath_prepend("/root/repo/scripts")
+    from tpu_session import hold_bench_slot
+
+    with hold_bench_slot():
+        # wait for the holder to claim the slot (it writes the pidfile last)
+        pidfile = tmp_path / "hsimae_bench_parent.pid"
+        deadline = time.monotonic() + 30
+        while not pidfile.exists() and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert pidfile.exists(), "holder never claimed the slot"
+        env = dict(os.environ, HSIMAE_BENCH_YIELD="1",
+                   HSIMAE_BENCH_BUDGET_S="1")
+        out = subprocess.run([sys.executable, "/root/repo/bench.py"],
+                             env=env, capture_output=True, text=True,
+                             timeout=60)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec == {"skip": "slot_busy"}
+    # context exit releases the slot: the same yield bench now acquires it
+    out = subprocess.run([sys.executable, "/root/repo/bench.py"],
+                         env=env, capture_output=True, text=True, timeout=60)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "skip" not in rec
+
+
 def test_tunnel_alive_timeout_means_dead(monkeypatch):
     import subprocess as sp
 
