@@ -13,6 +13,11 @@ the reference drivers (`/root/reference/Model_Pretraining.py:119-134`,
 import pathlib
 import sys
 
+# `python examples/quickstart.py` puts examples/ (the script dir) on
+# sys.path, not the repo root — make the documented invocation work from
+# anywhere without an installed package or PYTHONPATH
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
