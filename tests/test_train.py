@@ -241,3 +241,52 @@ def test_fused_pretrain_path_runs():
     )
     assert len(hist["epoch_loss"]) == 1
     assert np.isfinite(hist["epoch_loss"][0])
+
+
+def test_fused_chunk_matches_eager_steps():
+    """The lax.scan chunk IS the eager K-step loop numerically: same bulk
+    gather, flip augmentation, per-step ``fold_in`` rng split, and optimizer
+    update — only dispatch structure differs. Pins the throughput fast path
+    to the reference-shaped per-step semantics
+    (`/root/reference/Model_Pretraining.py:93-106`)."""
+    from hsimae_tpu.data.gwpca import apply_gwpca
+    from hsimae_tpu.data.pipeline import MultiScenePatchSource
+    from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
+    from hsimae_tpu.data.windows import build_pretrain_cut_index
+    from hsimae_tpu.models.masking import grid_shape_candidates
+    from hsimae_tpu.train.optim import pretrain_optimizer
+    from hsimae_tpu.train.pretrain import make_fused_pretrain_chunk
+
+    scenes = [apply_gwpca(s, 32) for s in
+              make_synthetic_pretrain_scenes(2, (28, 36), bands=40, seed=11)]
+    src = MultiScenePatchSource(scenes, patch_size=9)
+    idx = build_pretrain_cut_index([s.shape for s in scenes], 9,
+                                   coarse_from=1)
+    model = build_hsimae(TINY)
+    params = init_model(model, seed=0)["params"]
+    lt, ll = grid_shape_candidates(TINY.t_size, TINY.l_size, 0.5)[0]
+    K, B = 3, 8
+    locs = idx.locs[: K * B].reshape(K, B, 3)
+    base = jax.random.PRNGKey(7)
+
+    def fresh_state(p):
+        tx, _ = pretrain_optimizer(1e-3, 5e-2, total_steps=100)
+        return PTState.create(apply_fn=model.apply, params=p, tx=tx)
+
+    st_e = fresh_state(jax.tree.map(jnp.copy, params))
+    step = make_pretrain_step(model)
+    losses = []
+    for i in range(K):
+        imgs = src.gather(jnp.asarray(locs[i]))
+        st_e, loss = step(st_e, imgs, jax.random.fold_in(base, i), lt, ll)
+        losses.append(float(loss))
+
+    st_f = fresh_state(jax.tree.map(jnp.copy, params))
+    chunk = make_fused_pretrain_chunk(model, src)
+    st_f, mean_loss = chunk(st_f, jnp.asarray(locs), base, lt, ll)
+
+    assert np.isclose(float(mean_loss), np.mean(losses), rtol=1e-5)
+    import chex
+
+    chex.assert_trees_all_close(st_f.params, st_e.params,
+                                rtol=1e-5, atol=1e-6)
