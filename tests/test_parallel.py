@@ -198,3 +198,47 @@ def test_dp_classify_scene_matches_single_device():
     sharded = classify_scene(scene, params, cfg, n_classes, ecfg,
                              mesh=make_mesh())
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_dp_fused_chunk_matches_single_device():
+    """The fused lax.scan chunk with a mesh (its with_sharding_constraint dp
+    path) produces the same loss and params as the meshless chunk."""
+    from hsimae_tpu.config import preset
+    from hsimae_tpu.data.gwpca import apply_gwpca
+    from hsimae_tpu.data.pipeline import MultiScenePatchSource
+    from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
+    from hsimae_tpu.data.windows import build_pretrain_cut_index
+    from hsimae_tpu.models.hsimae import build_hsimae, init_model
+    from hsimae_tpu.models.masking import grid_shape_candidates
+    from hsimae_tpu.train.optim import pretrain_optimizer
+    from hsimae_tpu.train.pretrain import TrainState, make_fused_pretrain_chunk
+
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16, decoder_num_heads=2)
+    scenes = [apply_gwpca(s, 32) for s in
+              make_synthetic_pretrain_scenes(2, (28, 36), bands=40, seed=12)]
+    src = MultiScenePatchSource(scenes, patch_size=9)
+    idx = build_pretrain_cut_index([s.shape for s in scenes], 9, coarse_from=1)
+    model = build_hsimae(cfg)
+    params_host = jax.device_get(init_model(model, seed=0)["params"])
+    lt, ll = grid_shape_candidates(cfg.t_size, cfg.l_size, 0.5)[0]
+    K, B = 2, 16  # B divisible by the 8-device data axis
+    locs = jnp.asarray(idx.locs[: K * B].reshape(K, B, 3))
+    base = jax.random.PRNGKey(9)
+
+    def run(mesh):
+        params = jax.tree_util.tree_map(jnp.asarray, params_host)
+        tx, _ = pretrain_optimizer(1e-3, 5e-2, total_steps=100)
+        st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        if mesh is not None:
+            st = replicate(st, mesh)
+        chunk = make_fused_pretrain_chunk(model, src, mesh=mesh)
+        st, loss = chunk(st, locs, base, lt, ll)
+        return float(loss), jax.device_get(st.params)
+
+    l1, p1 = run(None)
+    l2, p2 = run(make_mesh())
+    assert np.isclose(l1, l2, rtol=1e-5)
+    import chex
+
+    chex.assert_trees_all_close(p1, p2, rtol=1e-4, atol=1e-6)
