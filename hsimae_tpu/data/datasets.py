@@ -47,13 +47,74 @@ def get_data_path(name: str, root: Optional[str] = None) -> Tuple[str, str]:
     return os.path.join(base, "data.npy"), os.path.join(base, "gt.npy")
 
 
+def _mat_arrays(path: str) -> dict:
+    """Non-metadata numeric arrays of a MATLAB file (v5 via scipy, v7.3 via
+    h5py). Keys like ``__header__`` are dropped."""
+    try:
+        from scipy.io import loadmat
+
+        md = loadmat(path)
+        return {k: np.asarray(v) for k, v in md.items()
+                if not k.startswith("__") and getattr(v, "ndim", 0) >= 2}
+    except NotImplementedError:  # MATLAB v7.3 = HDF5
+        import h5py
+
+        out = {}
+        with h5py.File(path, "r") as f:
+            for k in f.keys():
+                v = f[k]
+                if hasattr(v, "shape") and len(v.shape) >= 2:
+                    # MATLAB/HDF5 stores column-major: transpose back
+                    out[k] = np.asarray(v).T
+        return out
+
+
+def resolve_mat_scene(base: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Find (scene, gt) in a dataset directory holding the ORIGINAL MATLAB
+    downloads (e.g. ``Salinas_corrected.mat`` + ``Salinas_gt.mat``,
+    ``PaviaU.mat`` + ``PaviaU_gt.mat``, ``WHU_Hi_LongKou.mat``) — so the
+    published cubes run unchanged, without the reference's manual ``.npy``
+    conversion step (`/root/reference/Compared_Experiment.py:338-351` expects
+    pre-converted data.npy/gt.npy). The scene is the unique 3-D array; gt is
+    the 2-D non-negative integer-valued array matching its spatial shape."""
+    arrays: dict = {}
+    for f in sorted(os.listdir(base)):
+        if f.endswith(".mat"):
+            for k, v in _mat_arrays(os.path.join(base, f)).items():
+                arrays[f"{f}:{k}"] = v
+    scenes = {k: v for k, v in arrays.items() if v.ndim == 3}
+    if len(scenes) != 1:
+        raise FileNotFoundError(
+            f"{base}: expected exactly one 3-D cube across the .mat files, "
+            f"found {sorted(scenes)} (all arrays: {sorted(arrays)})")
+    (sk, scene), = scenes.items()
+    gts = {k: v for k, v in arrays.items()
+           if v.ndim == 2 and v.shape == scene.shape[:2]
+           and np.issubdtype(v.dtype, np.number)
+           and np.all(v >= 0) and np.all(v == np.round(v))}
+    if len(gts) != 1:
+        raise FileNotFoundError(
+            f"{base}: expected exactly one [h, w] integer ground-truth map "
+            f"matching {sk}'s spatial shape, found {sorted(gts)}")
+    (_, gt), = gts.items()
+    return scene, gt
+
+
 def load_dataset(name: str, root: Optional[str] = None,
                  validate: bool = True) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (scene [h, w, bands] float32, gt [h, w] int32)."""
+    """-> (scene [h, w, bands] float32, gt [h, w] int32).
+
+    Prefers the reference's pre-converted ``data.npy``/``gt.npy`` layout;
+    falls back to the original MATLAB downloads dropped in the same
+    directory (see resolve_mat_scene)."""
     info = REGISTRY[name]
     dp, gp = get_data_path(name, root)
-    scene = np.asarray(np.load(dp), np.float32)
-    gt = np.asarray(np.load(gp)).astype(np.int32)
+    if os.path.exists(dp):
+        scene, gt = np.load(dp), np.load(gp)
+    else:
+        scene, gt = resolve_mat_scene(os.path.dirname(dp))
+    scene = np.asarray(scene, np.float32)
+    gt = np.asarray(gt).astype(np.int32)
     if validate:
         assert scene.ndim == 3 and scene.shape[:2] == gt.shape, (scene.shape, gt.shape)
         assert scene.shape[-1] == info.bands, (

@@ -244,3 +244,63 @@ def test_metrics_match_sklearn_with_background_predictions():
                                                     zero_division=0)))
     assert np.isclose(m.kappa, sk.cohen_kappa_score(yt, yp))
     assert len(m.per_class) == 5  # aligned by class id, bucket dropped
+
+
+def test_load_dataset_from_original_mat_downloads(tmp_path):
+    """The published MATLAB cubes (Salinas_corrected.mat + Salinas_gt.mat
+    etc.) load unchanged — no manual .npy conversion, which the reference
+    requires (`Compared_Experiment.py:338-351` hard-codes data.npy/gt.npy)."""
+    from scipy.io import savemat
+
+    from hsimae_tpu.data.datasets import load_dataset
+
+    base = tmp_path / "PaviaU"
+    base.mkdir()
+    rng = np.random.default_rng(0)
+    scene = rng.standard_normal((20, 16, 103)).astype(np.float32)
+    gt = rng.integers(0, 10, (20, 16)).astype(np.float64)  # MATLAB doubles
+    savemat(base / "PaviaU.mat", {"paviaU": scene})
+    savemat(base / "PaviaU_gt.mat", {"paviaU_gt": gt})
+
+    got_scene, got_gt = load_dataset("PaviaU", root=str(tmp_path))
+    np.testing.assert_allclose(got_scene, scene, rtol=1e-6)
+    np.testing.assert_array_equal(got_gt, gt.astype(np.int32))
+    assert got_gt.dtype == np.int32
+
+
+def test_load_dataset_mat_single_file_and_npy_priority(tmp_path):
+    """One .mat holding both arrays works; a data.npy beside it wins."""
+    from scipy.io import savemat
+
+    from hsimae_tpu.data.datasets import load_dataset
+
+    base = tmp_path / "Salinas"
+    base.mkdir()
+    rng = np.random.default_rng(1)
+    scene = rng.standard_normal((12, 10, 204)).astype(np.float32)
+    gt = rng.integers(0, 17, (12, 10)).astype(np.uint8)
+    savemat(base / "salinas.mat",
+            {"salinas_corrected": scene, "salinas_gt": gt})
+    got_scene, got_gt = load_dataset("Salinas", root=str(tmp_path))
+    np.testing.assert_allclose(got_scene, scene, rtol=1e-6)
+    np.testing.assert_array_equal(got_gt, gt)
+
+    npy_scene = scene + 1.0
+    np.save(base / "data.npy", npy_scene)
+    np.save(base / "gt.npy", gt)
+    got_scene2, _ = load_dataset("Salinas", root=str(tmp_path))
+    np.testing.assert_allclose(got_scene2, npy_scene, rtol=1e-6)
+
+
+def test_resolve_mat_scene_rejects_ambiguity(tmp_path):
+    from scipy.io import savemat
+
+    from hsimae_tpu.data.datasets import resolve_mat_scene
+
+    base = tmp_path / "d"
+    base.mkdir()
+    rng = np.random.default_rng(2)
+    savemat(base / "a.mat", {"c1": rng.standard_normal((5, 5, 7)),
+                             "c2": rng.standard_normal((5, 5, 7))})
+    with pytest.raises(FileNotFoundError, match="exactly one 3-D cube"):
+        resolve_mat_scene(str(base))

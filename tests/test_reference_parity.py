@@ -125,6 +125,38 @@ def test_pkl_checkpoint_ingestion_end_to_end(tmp_path):
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
 
 
+def test_exported_state_dict_loads_into_reference_strict():
+    """Export direction of the interop story: a natively-trained flax model
+    exported with export_torch_state_dict must load into the reference
+    DualViT with ``strict=True`` (every key present, every shape right,
+    incl. the frozen pos tables and the dead ``mask_token`` the reference
+    stores as Parameters, `Models.py:401`) and reproduce the eval logits.
+    This is what lets a user take an hsimae_tpu checkpoint BACK to the
+    reference ecosystem (`Model_Finetuning.py:87-96` consumes such dicts)."""
+    jm = build_dual_vit(CFG, N_CLASS, drop_path=0.0)
+    params = jax.device_get(init_model(jm, seed=3)["params"])
+    from hsimae_tpu.checkpoints.torch_convert import export_torch_state_dict
+
+    sd = export_torch_state_dict(params, CFG)
+    tm = _torch_dualvit()
+    assert set(sd.keys()) == set(tm.state_dict().keys())
+    tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    tm.eval()
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, CFG.bands, CFG.img_size, CFG.img_size)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tm(torch.from_numpy(x)[:, None]).numpy()
+    ours = np.asarray(
+        jm.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                 False, method=HSIMAE.classify)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
+
+
 def test_grid_shape_candidates_match_reference():
     """choose_grid_shape's candidate set == the argmin set of the reference's
     get_dim_patches (`Models.py:484-493`) for every mask ratio used."""
