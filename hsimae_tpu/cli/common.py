@@ -21,9 +21,17 @@ from hsimae_tpu.config import ModelConfig, PRESETS, preset
 
 def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
     """Persistent compile cache: on this TPU runtime a train-step compile
-    costs 60-500s, so every CLI enables the cache up front."""
+    costs 60-500s, so every CLI enables the cache up front.
+
+    Also honors ``HSIMAE_PLATFORM`` (e.g. ``cpu``): some runtimes (the axon
+    sitecustomize here) pin ``jax_platforms`` via jax.config, which silently
+    overrides the ``JAX_PLATFORMS`` env var — without this hook a CLI run
+    cannot fall back to CPU when the TPU tunnel is down."""
     import jax
 
+    plat = os.environ.get("HSIMAE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", path))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

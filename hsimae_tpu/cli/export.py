@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--params-dtype", default=None,
                    help="cast float params before export (e.g. bfloat16 — "
                         "half the artifact/HBM size)")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 kernels (~4x smaller artifact; "
+                        "dequantization baked into the exported program)")
     return p
 
 
@@ -45,11 +48,12 @@ def main(argv=None):
     blob = export_classifier(
         params, model_config(args), args.num_classes,
         batch_sizes=args.batch_sizes, platforms=args.platforms,
-        params_dtype=args.params_dtype)
+        params_dtype=args.params_dtype, quantize=args.quantize)
     path = save_classifier(args.output, blob)
     print(json.dumps({"artifact": path, "bytes": len(blob),
                       "batch_sizes": sorted(set(args.batch_sizes)),
-                      "platforms": args.platforms}))
+                      "platforms": args.platforms,
+                      "quantize": args.quantize}))
 
 
 if __name__ == "__main__":

@@ -46,3 +46,20 @@ def test_benchmark_parser():
     # below the HSIMAE finetuning grid
     assert a.lr_grid == [1e-3, 5e-4, 1e-4, 5e-5]
     assert a.selection_seeds == 3 and a.test_seeds == 5
+
+
+def test_hsimae_platform_env_overrides_jax_config(monkeypatch):
+    """HSIMAE_PLATFORM must win over a sitecustomize that pins jax_platforms
+    via jax.config (where the JAX_PLATFORMS env var is silently ignored) —
+    the CPU-fallback path for CLI runs during TPU tunnel outages."""
+    import jax
+
+    from hsimae_tpu.cli.common import enable_compilation_cache
+
+    before = jax.config.jax_platforms
+    try:
+        monkeypatch.setenv("HSIMAE_PLATFORM", "cpu")
+        enable_compilation_cache()
+        assert jax.config.jax_platforms == "cpu"
+    finally:
+        jax.config.update("jax_platforms", before)

@@ -183,3 +183,59 @@ def test_mismatched_model_args_warn():
     with pytest.warns(UserWarning, match="random init"):
         export_classifier(params, other, NUM_CLASSES,
                           batch_sizes=(2,), platforms=("cpu",))
+
+
+def test_int8_quantized_artifact(tmp_path):
+    """Weight-only int8 export: substantially smaller artifact, sub-percent
+    logits error, identical label decisions, quantize recorded in metadata.
+    The dequantization lives inside the exported StableHLO, so the load/
+    serve path is identical to the f32 artifact's."""
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=3)["params"]
+    blob_f32 = export_classifier(params, CFG, NUM_CLASSES,
+                                 batch_sizes=(8,), platforms=("cpu",))
+    blob_q = export_classifier(params, CFG, NUM_CLASSES,
+                               batch_sizes=(8,), platforms=("cpu",),
+                               quantize="int8")
+    assert len(blob_q) < 0.6 * len(blob_f32)
+
+    clf = load_classifier(save_classifier(str(tmp_path / "q.hsix"), blob_q))
+    assert clf.quantize == "int8"
+    x = np.random.default_rng(5).standard_normal(
+        (8, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    ref = np.asarray(model.apply({"params": params}, x, False,
+                                 method=HSIMAE.classify))
+    got = clf.predict_logits(x)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+    np.testing.assert_array_equal(clf.predict(x),
+                                  np.argmax(ref[:, 1:], axis=1) + 1)
+    # int8 leaves actually shipped in the artifact
+    q8 = clf.params["cls_head"]["kernel"]
+    assert set(q8.keys()) == {"q8", "scale"}
+    assert np.asarray(q8["q8"]).dtype == np.int8
+
+
+def test_quantize_rejects_unknown_scheme():
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=3)["params"]
+    with pytest.raises(ValueError, match="unsupported quantize"):
+        export_classifier(params, CFG, NUM_CLASSES, batch_sizes=(2,),
+                          platforms=("cpu",), quantize="int4")
+
+
+def test_quantize_dequantize_error_bound():
+    """Per-element |deq - w| <= scale/2 (symmetric rounding), scales per
+    OUTPUT channel."""
+    from hsimae_tpu.serving.export import (dequantize_params,
+                                           quantize_params_int8)
+
+    rng = np.random.default_rng(0)
+    w = (rng.standard_normal((64, 48)) * rng.gamma(2.0, 1.0, (1, 48))
+         ).astype(np.float32)
+    q = quantize_params_int8({"m": {"kernel": w, "bias": np.ones(48, np.float32)}})
+    assert q["m"]["kernel"]["q8"].dtype == np.int8
+    assert q["m"]["kernel"]["scale"].shape == (1, 48)
+    np.testing.assert_array_equal(q["m"]["bias"], np.ones(48, np.float32))
+    deq = np.asarray(dequantize_params(q, np.float32)["m"]["kernel"])
+    assert np.all(np.abs(deq - w) <= q["m"]["kernel"]["scale"] / 2 + 1e-7)
