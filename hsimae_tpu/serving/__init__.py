@@ -14,7 +14,9 @@ cross-version compatibility guarantees.
 from hsimae_tpu.serving.export import (
     ExportedClassifier,
     export_classifier,
+    export_flax_classifier,
     load_classifier,
 )
 
-__all__ = ["ExportedClassifier", "export_classifier", "load_classifier"]
+__all__ = ["ExportedClassifier", "export_classifier",
+           "export_flax_classifier", "load_classifier"]

@@ -120,35 +120,60 @@ def export_classifier(
             "(model args do not match the checkpoint?); the artifact will "
             "produce meaningless predictions", stacklevel=2)
     params = jax.device_get(params)
-    if params_dtype is not None:
-        import jax.numpy as jnp
+    return export_flax_classifier(
+        model, {"params": params}, num_classes,
+        (model_cfg.img_size, model_cfg.img_size, model_cfg.bands),
+        batch_sizes=batch_sizes, platforms=platforms, quantize=quantize,
+        params_dtype=params_dtype,
+        apply_method=HSIMAE.classify, meta=dataclasses.asdict(model_cfg))
 
-        tgt_dt = jnp.dtype(params_dtype)  # ml_dtypes: 'bfloat16' works
-        params = jax.tree.map(
+
+def export_flax_classifier(
+    model,
+    variables: dict,
+    num_classes: int,
+    input_shape: Tuple[int, ...],
+    batch_sizes: Sequence[int] = DEFAULT_BUCKETS,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    params_dtype: Optional[str] = None,
+    quantize: Optional[str] = None,
+    apply_method=None,
+    meta: Optional[dict] = None,
+) -> bytes:
+    """Generic AOT export: ANY flax classifier whose eval forward is
+    ``model.apply(variables, x, False)`` — every model in the baselines zoo
+    qualifies (`hsimae_tpu/models/baselines/`), incl. BatchNorm models
+    (pass ``{"params": ..., "batch_stats": ...}``). ``input_shape`` is the
+    per-example shape (e.g. ``(15, 15, 30)``); ``meta`` is stored verbatim
+    as the artifact's ``model_cfg`` metadata."""
+    import jax.numpy as jnp
+
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize={quantize!r} (only 'int8')")
+    variables = jax.device_get(variables)
+    if params_dtype is not None:
+        tgt_dt = jnp.dtype(params_dtype)
+        variables = jax.tree.map(
             lambda a: np.asarray(a).astype(tgt_dt)
             if jnp.issubdtype(np.asarray(a).dtype, jnp.floating) else a,
-            params)
+            variables)
 
+    kwargs = {} if apply_method is None else {"method": apply_method}
     if quantize == "int8":
-        import jax.numpy as jnp
-
         dq_dtype = jnp.dtype(params_dtype or "float32")
-        params = quantize_params_int8(params)
+        variables = dict(variables,
+                         params=quantize_params_int8(variables["params"]))
         fwd = jax.jit(
-            lambda p, x: model.apply(
-                {"params": dequantize_params(p, dq_dtype)}, x, False,
-                method=HSIMAE.classify))
+            lambda v, x: model.apply(
+                dict(v, params=dequantize_params(v["params"], dq_dtype)),
+                x, False, **kwargs))
     else:
-        fwd = jax.jit(
-            lambda p, x: model.apply({"params": p}, x, False,
-                                     method=HSIMAE.classify))
-    p_abs = _abstractify(params)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, False, **kwargs))
+    v_abs = _abstractify(variables)
     programs: Dict[str, bytes] = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
-        x_abs = jax.ShapeDtypeStruct(
-            (b, model_cfg.img_size, model_cfg.img_size, model_cfg.bands),
-            np.float32)
-        exp = jax_export.export(fwd, platforms=list(platforms))(p_abs, x_abs)
+        x_abs = jax.ShapeDtypeStruct((b,) + tuple(input_shape), np.float32)
+        exp = jax_export.export(fwd, platforms=list(platforms))(v_abs, x_abs)
         programs[str(b)] = bytes(exp.serialize())
 
     bundle = {
@@ -156,10 +181,10 @@ def export_classifier(
         "num_classes": int(num_classes),
         "batch_sizes": [int(b) for b in sorted(set(batch_sizes))],
         "platforms": list(platforms),
-        "model_cfg": dataclasses.asdict(model_cfg),
+        "model_cfg": dict(meta or {}),
         "quantize": quantize,
         "programs": programs,
-        "params": params,
+        "params": variables,
     }
     return serialization.msgpack_serialize(_jsonify(bundle))
 

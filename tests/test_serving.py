@@ -211,7 +211,7 @@ def test_int8_quantized_artifact(tmp_path):
     np.testing.assert_array_equal(clf.predict(x),
                                   np.argmax(ref[:, 1:], axis=1) + 1)
     # int8 leaves actually shipped in the artifact
-    q8 = clf.params["cls_head"]["kernel"]
+    q8 = clf.params["params"]["cls_head"]["kernel"]
     assert set(q8.keys()) == {"q8", "scale"}
     assert np.asarray(q8["q8"]).dtype == np.int8
 
@@ -239,3 +239,31 @@ def test_quantize_dequantize_error_bound():
     np.testing.assert_array_equal(q["m"]["bias"], np.ones(48, np.float32))
     deq = np.asarray(dequantize_params(q, np.float32)["m"]["kernel"])
     assert np.all(np.abs(deq - w) <= q["m"]["kernel"]["scale"] / 2 + 1e-7)
+
+
+def test_zoo_model_export(tmp_path):
+    """export_flax_classifier serves ANY zoo baseline — here SSRN, a
+    BatchNorm model (batch_stats ride along in the artifact's variables)."""
+    from hsimae_tpu.bench.registry import get_baseline_spec
+    from hsimae_tpu.serving import export_flax_classifier
+
+    spec = get_baseline_spec("SSRN", "PaviaU")
+    bands, n_classes, p = 20, 4, spec.patch_size
+    model = spec.build(bands, n_classes, "PaviaU")
+    x0 = np.zeros((2, p, p, bands), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, True)
+    assert "batch_stats" in variables  # the case worth covering
+
+    blob = export_flax_classifier(
+        model, variables, n_classes, (p, p, bands),
+        batch_sizes=(4,), platforms=("cpu",), meta={"name": spec.name})
+    clf = load_classifier(save_classifier(str(tmp_path / "ssrn.hsix"), blob))
+    assert clf.model_meta["name"] == "SSRN"
+
+    x = np.random.default_rng(3).standard_normal(
+        (4, p, p, bands)).astype(np.float32)
+    ref = np.asarray(model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, x, False))
+    np.testing.assert_allclose(clf.predict_logits(x), ref,
+                               rtol=1e-5, atol=1e-5)
