@@ -30,9 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
     add_data_args(p, labeled=True)
-    p.add_argument("--params", required=True, help=".msgpack or torch .pkl")
-    p.add_argument("--num-classes", type=int, required=True,
-                   help="including background class 0")
+    p.add_argument("--params", default=None, help=".msgpack or torch .pkl")
+    p.add_argument("--artifact", default=None,
+                   help="serving artifact (.hsix) to evaluate instead of "
+                        "--params — full-scene eval without model source")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="including background class 0 (required with "
+                        "--params; read from the artifact otherwise)")
     p.add_argument("--batch-size", type=int, default=4096)
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel inference over N devices (0 = single "
@@ -68,17 +72,31 @@ def main(argv=None):
             gt.reshape(-1), num=args.samples_per_class,
             rng=np.random.default_rng(args.seed))
         gt = test_gt_flat.reshape(gt.shape)
-    params = load_any_checkpoint(args.params)
-    mesh = None
-    if args.dp:
-        from hsimae_tpu.parallel.mesh import make_mesh
+    if (args.params is None) == (args.artifact is None):
+        raise SystemExit("exactly one of --params / --artifact is required")
+    if args.artifact:
+        from hsimae_tpu.serving import load_classifier
+        from hsimae_tpu.train.evaluate import evaluate_scene_artifact
 
-        mesh = make_mesh(data=args.dp)
-    res = evaluate_scene(
-        scene.astype(np.float32), gt, params, mcfg, args.num_classes,
-        EvalConfig(batch_size=args.batch_size),
-        save_dir=args.out, name="scene", mesh=mesh,
-    )
+        res = evaluate_scene_artifact(
+            scene.astype(np.float32), gt, load_classifier(args.artifact),
+            EvalConfig(batch_size=args.batch_size),
+            save_dir=args.out, name="scene",
+        )
+    else:
+        if args.num_classes is None:
+            raise SystemExit("--num-classes is required with --params")
+        params = load_any_checkpoint(args.params)
+        mesh = None
+        if args.dp:
+            from hsimae_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=args.dp)
+        res = evaluate_scene(
+            scene.astype(np.float32), gt, params, mcfg, args.num_classes,
+            EvalConfig(batch_size=args.batch_size),
+            save_dir=args.out, name="scene", mesh=mesh,
+        )
     m = res.metrics
     print(json.dumps({
         "oa": round(100 * m.oa, 2), "aa": round(100 * m.aa, 2),

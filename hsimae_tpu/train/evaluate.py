@@ -118,6 +118,39 @@ def classify_scene(
     return out.reshape(h, w)
 
 
+def classify_scene_artifact(
+    scene: np.ndarray,
+    classifier,
+    cfg: EvalConfig = EvalConfig(),
+) -> np.ndarray:
+    """Per-pixel scene classification through a loaded serving artifact
+    (:class:`hsimae_tpu.serving.ExportedClassifier`) — full-scene eval with
+    no flax/model source at deploy time. The artifact's own bucketing pads
+    each gathered batch; labels are 1-based with background excluded, the
+    same rule as :func:`classify_scene`."""
+    img_size = int(classifier.model_meta.get("img_size", 9))
+    source = ScenePatchSource(scene, img_size)
+    h, w = scene.shape[:2]
+    n = h * w
+    bs = min(cfg.batch_size, n)
+    out = np.zeros(n, np.int32)
+    for chunk, valid in batch_indices(n, bs, shuffle=False):
+        imgs = np.asarray(source.gather_pixels(chunk))
+        pred = classifier.predict(imgs)
+        out[chunk[valid]] = pred[valid]
+    return out.reshape(h, w)
+
+
+def _finish_eval(pred_map, test_gt, cfg, save_dir, name) -> SceneEvalResult:
+    m = classification_metrics(test_gt, pred_map)
+    if save_dir and cfg.save_colormaps:
+        os.makedirs(save_dir, exist_ok=True)
+        save_colormap(os.path.join(save_dir, f"{name}_pred.png"), pred_map)
+        masked = np.where(test_gt != 0, pred_map, 0)
+        save_colormap(os.path.join(save_dir, f"{name}_pred_masked.png"), masked)
+    return SceneEvalResult(pred_map=pred_map, metrics=m)
+
+
 def evaluate_scene(
     scene: np.ndarray,
     test_gt: np.ndarray,
@@ -131,10 +164,16 @@ def evaluate_scene(
 ) -> SceneEvalResult:
     pred_map = classify_scene(scene, params, model_cfg, num_classes, cfg,
                               mesh=mesh)
-    m = classification_metrics(test_gt, pred_map)
-    if save_dir and cfg.save_colormaps:
-        os.makedirs(save_dir, exist_ok=True)
-        save_colormap(os.path.join(save_dir, f"{name}_pred.png"), pred_map)
-        masked = np.where(test_gt != 0, pred_map, 0)
-        save_colormap(os.path.join(save_dir, f"{name}_pred_masked.png"), masked)
-    return SceneEvalResult(pred_map=pred_map, metrics=m)
+    return _finish_eval(pred_map, test_gt, cfg, save_dir, name)
+
+
+def evaluate_scene_artifact(
+    scene: np.ndarray,
+    test_gt: np.ndarray,
+    classifier,
+    cfg: EvalConfig = EvalConfig(),
+    save_dir: Optional[str] = None,
+    name: str = "scene",
+) -> SceneEvalResult:
+    pred_map = classify_scene_artifact(scene, classifier, cfg)
+    return _finish_eval(pred_map, test_gt, cfg, save_dir, name)

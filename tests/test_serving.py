@@ -267,3 +267,52 @@ def test_zoo_model_export(tmp_path):
          "batch_stats": variables["batch_stats"]}, x, False))
     np.testing.assert_allclose(clf.predict_logits(x), ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_scene_eval_matches_live(tmp_path):
+    """Full-scene eval through the artifact == the live-model path, and the
+    CLI's --artifact route produces the same metrics dict."""
+    from hsimae_tpu.config import EvalConfig
+    from hsimae_tpu.train.evaluate import (classify_scene,
+                                           classify_scene_artifact,
+                                           evaluate_scene_artifact)
+
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=3)["params"]
+    blob = export_classifier(params, CFG, NUM_CLASSES,
+                             batch_sizes=(64,), platforms=("cpu",))
+    clf = load_classifier(blob)
+
+    rng = np.random.default_rng(0)
+    scene = rng.standard_normal((12, 11, CFG.bands)).astype(np.float32)
+    gt = rng.integers(0, NUM_CLASSES, (12, 11)).astype(np.int32)
+
+    ecfg = EvalConfig(batch_size=64, save_colormaps=False)
+    live = classify_scene(scene, params, CFG, NUM_CLASSES, ecfg)
+    art = classify_scene_artifact(scene, clf, ecfg)
+    np.testing.assert_array_equal(live, art)
+
+    res = evaluate_scene_artifact(scene, gt, clf, ecfg)
+    assert res.pred_map.shape == gt.shape
+
+    # the CLI route (in-process)
+    import json
+
+    from hsimae_tpu.cli.evaluate import main as eval_main
+
+    np.save(tmp_path / "scene.npy", scene)
+    np.save(tmp_path / "gt.npy", gt)
+    apath = save_classifier(str(tmp_path / "m.hsix"), blob)
+    out = eval_main(["--scene", str(tmp_path / "scene.npy"),
+                     "--gt", str(tmp_path / "gt.npy"), "--no-gwpca",
+                     "--artifact", apath, "--batch-size", "64"])
+    np.testing.assert_array_equal(out.pred_map, live)
+
+
+def test_evaluate_cli_rejects_params_and_artifact_together(tmp_path):
+    from hsimae_tpu.cli.evaluate import main as eval_main
+
+    with pytest.raises(SystemExit):
+        eval_main(["--synthetic", "--params", "a", "--artifact", "b"])
+    with pytest.raises(SystemExit):
+        eval_main(["--synthetic"])
