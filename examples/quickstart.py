@@ -61,11 +61,13 @@ def main(workdir: str = "/tmp/hsimae_quickstart", *,
         "--out", str(wd / "maps"),
     ])
 
-    # 4. Export a deployable artifact (static-batch StableHLO + params)
+    # 4. Export a deployable artifact (static-batch StableHLO + params);
+    #    int8 weight-only quantization shrinks it ~4x at <1% logits error
     export.main([
         "--model", "HSIMAE-S",
         "--params", str(wd / "ft" / "finetuned.msgpack"),
         "--num-classes", "7", "--batch-sizes", "1", "256",
+        "--quantize", "int8",
         "--output", str(wd / "model.hsix"),
     ])
 
@@ -77,6 +79,13 @@ def main(workdir: str = "/tmp/hsimae_quickstart", *,
         (5, 9, 9, 32)).astype(np.float32)
     labels = clf.predict(patches)
     print("served labels:", labels)
+
+    # 6. Or run the whole-scene evaluation straight from the artifact
+    evaluate.main([
+        "--synthetic", "--artifact", str(wd / "model.hsix"),
+        "--samples-per-class", "10", "--seed", "3407",
+        "--out", str(wd / "maps_artifact"),
+    ])
     return labels
 
 

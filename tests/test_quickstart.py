@@ -35,3 +35,4 @@ def test_quickstart_end_to_end(tmp_path):
     assert (tmp_path / "ft" / "finetuned.msgpack").exists()
     assert (tmp_path / "model.hsix").exists()
     assert list((tmp_path / "maps").glob("*.png"))
+    assert list((tmp_path / "maps_artifact").glob("*.png"))
