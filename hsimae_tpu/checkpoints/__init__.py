@@ -6,6 +6,7 @@ from hsimae_tpu.checkpoints.io import (
     load_params,
     partial_restore,
 )
+from hsimae_tpu.checkpoints.orbax_io import OrbaxCheckpointer
 from hsimae_tpu.checkpoints.torch_convert import (
     convert_torch_state_dict,
     load_torch_checkpoint,
@@ -19,6 +20,7 @@ __all__ = [
     "save_params",
     "load_params",
     "partial_restore",
+    "OrbaxCheckpointer",
     "convert_torch_state_dict",
     "load_torch_checkpoint",
     "export_torch_state_dict",

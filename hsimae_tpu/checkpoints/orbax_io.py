@@ -1,0 +1,84 @@
+"""Async, sharding-aware checkpointing backend (Orbax).
+
+The msgpack backend (``checkpoints/io.py``) is synchronous: ``save_checkpoint``
+``device_get``s the full train state and serializes it on the training thread,
+stalling the step loop for the whole write (seconds at HSIMAE-B + AdamW scale
+over the slow tunnel). This backend wraps ``orbax.checkpoint``'s
+``CheckpointManager`` with async checkpointing turned on:
+
+* ``save()`` snapshots the device buffers and returns immediately — the
+  serialization and file I/O run on a background thread, so a periodic
+  checkpoint costs the train loop roughly a buffer copy instead of a full
+  host round-trip;
+* retention is managed (``max_to_keep``), so a 4M-patch multi-epoch pretrain
+  does not accumulate one full optimizer state per epoch on disk the way the
+  plain ``ckpt_{step}.msgpack`` scheme does;
+* restore is sharding-aware: leaves come back placed/sharded like the target
+  template, so a resumed data-parallel run restores shards directly to their
+  devices instead of bouncing the full state through host memory.
+
+The reference has no periodic checkpointing at all — it saves a single final
+``state_dict`` (`/root/reference/Model_Pretraining.py:111`) and loses
+everything on a crash (SURVEY.md §5 failure-detection row). Both backends
+here satisfy the resume contract pinned by ``tests/test_resume.py``; select
+with ``PretrainConfig.checkpoint_backend`` / ``--ckpt-backend``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+class OrbaxCheckpointer:
+    """Minimal step-keyed checkpoint manager over ``orbax.checkpoint``.
+
+    Mirrors the surface of the msgpack helpers (save / latest / restore)
+    so the training loops can dispatch on a backend name. The underlying
+    ``CheckpointManager`` is created lazily here so importing
+    ``hsimae_tpu.checkpoints`` never pays the orbax import cost.
+    """
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 3,
+                 async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=async_save,
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        """Enqueue an async save of ``state`` under ``step``. Returns as soon
+        as the device buffers are snapshotted; call ``wait()`` (or rely on
+        ``close()``) before treating the files as durable."""
+        self._mngr.save(int(step), args=self._ocp.args.StandardSave(state))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore_latest(self, target):
+        """Restore the newest checkpoint into the structure/shardings of
+        ``target``; returns ``None`` when the directory holds none."""
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._mngr.restore(
+            step, args=self._ocp.args.StandardRestore(target))
+
+    def wait(self) -> None:
+        """Block until all enqueued async saves are durable on disk."""
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=1000, dest="ckpt_every",
                    help="save a resumable checkpoint every N steps (0 = final only)")
     p.add_argument("--no-resume", dest="resume", action="store_false", default=True)
+    p.add_argument("--ckpt-backend", choices=["msgpack", "orbax"],
+                   default="msgpack",
+                   help="orbax = async background saves + managed retention "
+                   "(checkpoints/orbax_io.py); msgpack = one synchronous "
+                   "self-contained file per checkpoint")
     p.add_argument("--fused-steps", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of one steady epoch")
@@ -91,6 +96,7 @@ def main(argv=None):
         mask_ratio=args.mask_ratio, lr=args.lr, weight_decay=args.wd,
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         checkpoint_every_steps=args.ckpt_every, fused_steps=args.fused_steps,
+        checkpoint_backend=args.ckpt_backend,
     )
     params, hist = run_pretraining(
         source, index.locs, model_config(args), cfg,

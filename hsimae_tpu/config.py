@@ -143,6 +143,10 @@ class PretrainConfig:
     seed: int = 42
     log_every: int = 50
     checkpoint_every_steps: int = 0  # 0 = only save at end (reference behavior)
+    # "msgpack" (synchronous, one self-contained file per checkpoint) or
+    # "orbax" (async background saves + managed retention + sharding-aware
+    # restore; see checkpoints/orbax_io.py). Both satisfy test_resume.py.
+    checkpoint_backend: str = "msgpack"
     # steps fused into one dispatch by lax.scan (0 = eager per-step path).
     # Default 0: the eager two-program loop (gather jit + step jit) measures
     # ~71k patches/s at bs=512 and ~336k at bs=2048 on the target chip after

@@ -210,13 +210,28 @@ def run_pretraining(
     if mesh is not None:
         state = replicate(state, mesh)
 
+    use_orbax = workdir is not None and cfg.checkpoint_backend == "orbax"
+    ckptr = None
+    if use_orbax:
+        from hsimae_tpu.checkpoints.orbax_io import OrbaxCheckpointer
+
+        ckptr = OrbaxCheckpointer(workdir)
+
     start_epoch = 0
     if resume and workdir:
-        ck = latest_checkpoint(workdir)
-        if ck:
-            state = restore_checkpoint(ck, state)
-            start_epoch = int(state.step) // steps_per_epoch
-            print(f"[pretrain] resumed from {ck} at epoch {start_epoch}")
+        if use_orbax:
+            restored = ckptr.restore_latest(state)
+            if restored is not None:
+                state = restored
+                start_epoch = int(state.step) // steps_per_epoch
+                print(f"[pretrain] resumed from orbax step "
+                      f"{ckptr.latest_step()} at epoch {start_epoch}")
+        else:
+            ck = latest_checkpoint(workdir)
+            if ck:
+                state = restore_checkpoint(ck, state)
+                start_epoch = int(state.step) // steps_per_epoch
+                print(f"[pretrain] resumed from {ck} at epoch {start_epoch}")
 
     multihost = jax.process_count() > 1 and mesh is not None
     base_key = jax.random.PRNGKey(cfg.seed)
@@ -313,8 +328,14 @@ def run_pretraining(
         if workdir and cfg.checkpoint_every_steps and (
             (epoch + 1) * steps_per_epoch % cfg.checkpoint_every_steps < steps_per_epoch
         ):
-            save_checkpoint(workdir, int(state.step), state)
+            if use_orbax:
+                ckptr.save(int(state.step), state)  # async: returns at once
+            else:
+                save_checkpoint(workdir, int(state.step), state)
 
+    if ckptr is not None:
+        ckptr.wait()  # async saves must be durable before the loop returns
+        ckptr.close()
     params = jax.device_get(state.params)
     if workdir:
         save_params(f"{workdir}/params_final.msgpack", params)
