@@ -18,6 +18,10 @@ def test_pretrain_defaults_match_reference():
     assert a.model == "HSIMAE-B"
     assert a.img_size == 9 and a.bands == 32
     assert a.coarse_from == 14
+    # checkpointing defaults: synchronous msgpack; orbax is opt-in
+    assert a.ckpt_backend == "msgpack"
+    assert pretrain_parser().parse_args(
+        ["--synthetic", "--ckpt-backend", "orbax"]).ckpt_backend == "orbax"
 
 
 def test_finetune_defaults_match_reference():
