@@ -41,12 +41,19 @@ def quantize_params_int8(params: dict) -> dict:
     (biases, LayerNorm scales) and the tiny patch-embed stay exact enough
     that only matmul weights are worth quantizing — they are ~97% of the
     parameter bytes in every HSIMAE size preset."""
+    import jax.numpy as jnp
+
     def q(a):
         a = np.asarray(a)
-        if a.ndim == 2 and np.issubdtype(a.dtype, np.floating):
-            s = np.max(np.abs(a), axis=0, keepdims=True).astype(np.float32) / 127.0
-            s = np.where(s == 0, np.float32(1.0), s)
-            qa = np.clip(np.round(np.float32(a) / s), -127, 127).astype(np.int8)
+        # jnp.issubdtype, not np.issubdtype: ml_dtypes' bfloat16 (what a
+        # params_dtype='bfloat16' cast produces) is NOT an np.floating
+        # subdtype, and silently skipping it would ship an unquantized
+        # artifact stamped quantize='int8'
+        if a.ndim == 2 and jnp.issubdtype(a.dtype, jnp.floating):
+            af = a.astype(np.float32)
+            s = np.max(np.abs(af), axis=0, keepdims=True) / 127.0
+            s = np.where(s == 0, np.float32(1.0), s).astype(np.float32)
+            qa = np.clip(np.round(af / s), -127, 127).astype(np.int8)
             return {"q8": qa, "scale": s}
         return a
 

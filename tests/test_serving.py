@@ -316,3 +316,27 @@ def test_evaluate_cli_rejects_params_and_artifact_together(tmp_path):
         eval_main(["--synthetic", "--params", "a", "--artifact", "b"])
     with pytest.raises(SystemExit):
         eval_main(["--synthetic"])
+
+
+def test_int8_plus_bf16_quantizes_kernels(tmp_path):
+    """params_dtype='bfloat16' + quantize='int8' must still int8-quantize
+    the matmul kernels: ml_dtypes' bfloat16 is not an np.floating subdtype,
+    and the original np.issubdtype gate silently shipped an unquantized
+    artifact stamped quantize='int8'."""
+    model = build_hsi_vit(CFG, NUM_CLASSES)
+    params = init_model(model, seed=3)["params"]
+    blob = export_classifier(params, CFG, NUM_CLASSES, batch_sizes=(4,),
+                             platforms=("cpu",), params_dtype="bfloat16",
+                             quantize="int8")
+    clf = load_classifier(blob)
+    q8 = clf.params["params"]["cls_head"]["kernel"]
+    assert set(q8.keys()) == {"q8", "scale"}, "bf16 kernel was not quantized"
+    assert np.asarray(q8["q8"]).dtype == np.int8
+    # and the artifact still predicts like the unquantized f32 forward
+    x = np.random.default_rng(9).standard_normal(
+        (4, CFG.img_size, CFG.img_size, CFG.bands)).astype(np.float32)
+    ref = np.asarray(model.apply({"params": params}, x, False,
+                                 method=HSIMAE.classify))
+    got = clf.predict_logits(x)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, rel
