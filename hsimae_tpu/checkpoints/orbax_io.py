@@ -41,7 +41,14 @@ class OrbaxCheckpointer:
 
     def __init__(self, directory: str, max_to_keep: Optional[int] = 3,
                  async_save: bool = True):
-        import orbax.checkpoint as ocp
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as e:  # optional dependency (pyproject [orbax])
+            raise ImportError(
+                "the 'orbax' checkpoint backend needs orbax-checkpoint "
+                "(pip install 'hsimae-tpu[orbax]'); the default 'msgpack' "
+                "backend has no extra dependency"
+            ) from e
 
         self._ocp = ocp
         self._mngr = ocp.CheckpointManager(

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax = async background saves + managed retention "
                    "(checkpoints/orbax_io.py); msgpack = one synchronous "
                    "self-contained file per checkpoint")
+    p.add_argument("--ckpt-max-keep", type=int, default=3,
+                   help="orbax backend: checkpoints retained on disk "
+                   "(0 = keep all); ignored by msgpack, which keeps all")
     p.add_argument("--fused-steps", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of one steady epoch")
@@ -97,6 +100,7 @@ def main(argv=None):
         batch_size=args.batch_size, epochs=args.epochs, seed=args.seed,
         checkpoint_every_steps=args.ckpt_every, fused_steps=args.fused_steps,
         checkpoint_backend=args.ckpt_backend,
+        ckpt_max_to_keep=args.ckpt_max_keep or None,
     )
     params, hist = run_pretraining(
         source, index.locs, model_config(args), cfg,

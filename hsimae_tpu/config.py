@@ -147,6 +147,10 @@ class PretrainConfig:
     # "orbax" (async background saves + managed retention + sharding-aware
     # restore; see checkpoints/orbax_io.py). Both satisfy test_resume.py.
     checkpoint_backend: str = "msgpack"
+    # orbax-managed retention: checkpoints kept on disk (None = keep all).
+    # The default 3 can be too aggressive for multi-day pretrains — raise it
+    # via --ckpt-max-keep. Ignored by the msgpack backend (which keeps all).
+    ckpt_max_to_keep: Optional[int] = 3
     # steps fused into one dispatch by lax.scan (0 = eager per-step path).
     # Default 0: the eager two-program loop (gather jit + step jit) measures
     # ~71k patches/s at bs=512 and ~336k at bs=2048 on the target chip after

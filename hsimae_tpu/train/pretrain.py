@@ -171,6 +171,20 @@ def make_fused_pretrain_chunk(
     return chunk
 
 
+def _orbax_has_checkpoints(workdir: str) -> Optional[str]:
+    """Cheap filesystem check (no orbax import): does ``workdir`` contain
+    orbax CheckpointManager step directories? Returns a description or None.
+    Used to catch a --ckpt-backend flip between write and resume."""
+    import os
+
+    try:
+        steps = [d for d in os.listdir(workdir)
+                 if d.isdigit() and os.path.isdir(os.path.join(workdir, d))]
+    except OSError:
+        return None
+    return f"orbax steps {sorted(int(s) for s in steps)}" if steps else None
+
+
 def run_pretraining(
     source: MultiScenePatchSource,
     locs: np.ndarray,
@@ -215,14 +229,16 @@ def run_pretraining(
     if use_orbax:
         from hsimae_tpu.checkpoints.orbax_io import OrbaxCheckpointer
 
-        ckptr = OrbaxCheckpointer(workdir)
+        ckptr = OrbaxCheckpointer(workdir, max_to_keep=cfg.ckpt_max_to_keep)
 
     start_epoch = 0
+    restored_any = False
     if resume and workdir:
         if use_orbax:
             restored = ckptr.restore_latest(state)
             if restored is not None:
                 state = restored
+                restored_any = True
                 start_epoch = int(state.step) // steps_per_epoch
                 print(f"[pretrain] resumed from orbax step "
                       f"{ckptr.latest_step()} at epoch {start_epoch}")
@@ -230,8 +246,24 @@ def run_pretraining(
             ck = latest_checkpoint(workdir)
             if ck:
                 state = restore_checkpoint(ck, state)
+                restored_any = True
                 start_epoch = int(state.step) // steps_per_epoch
                 print(f"[pretrain] resumed from {ck} at epoch {start_epoch}")
+        if not restored_any:
+            # resume requested but the selected backend found nothing: if the
+            # OTHER backend's checkpoints exist in workdir, the user almost
+            # certainly flipped --ckpt-backend mid-run — restarting at epoch 0
+            # would silently overwrite params_final.msgpack and lose the run
+            other = (latest_checkpoint(workdir) if use_orbax
+                     else _orbax_has_checkpoints(workdir))
+            if other:
+                raise RuntimeError(
+                    f"resume requested with --ckpt-backend "
+                    f"{cfg.checkpoint_backend!r}, which found no checkpoint "
+                    f"in {workdir}, but the other backend's checkpoints "
+                    f"exist there ({other}); re-run with the backend the "
+                    f"workdir was written with, or pass resume=False / a "
+                    f"fresh workdir to deliberately start over")
 
     multihost = jax.process_count() > 1 and mesh is not None
     base_key = jax.random.PRNGKey(cfg.seed)
@@ -249,93 +281,97 @@ def run_pretraining(
     if stop_after_epochs is not None:  # simulate preemption after N epochs
         end_epoch = min(end_epoch, start_epoch + stop_after_epochs)
 
-    for epoch in range(start_epoch, end_epoch):
-        # profile the SECOND epoch: the first contains the compiles
-        # (the reference has no tracing at all; SURVEY.md §5)
-        if profile_dir and epoch == start_epoch + 1:
-            jax.profiler.start_trace(profile_dir)
-        # per-epoch reseeded shuffle, the reference's `stable(loader, 42+epoch)`
-        ep_rng = np.random.default_rng(cfg.seed + epoch)
-        shape_rng = _pyrandom.Random(cfg.seed * 1000 + epoch)
-        ep_loss, ep_steps = 0.0, 0
-        step_losses = []  # device arrays; summed in ONE sync at epoch end
-        t0 = time.perf_counter()
-        if fused:
-            # pad the shuffled epoch (wrapping) to whole [K, B] chunks
-            k = min(cfg.fused_steps, int(np.ceil(n / bs)))
-            order = ep_rng.permutation(n)
-            n_chunks = steps_per_epoch // k
-            order = np.resize(order, n_chunks * k * bs)
-            for ci in range(n_chunks):
-                sel = order[ci * k * bs : (ci + 1) * k * bs].reshape(k, bs)
-                locs_chunk = jnp.asarray(locs[sel])
-                len_t, len_l = choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
-                rng = jax.random.fold_in(base_key, int(state.step))
-                state, loss = chunk_fn(state, locs_chunk, rng, len_t, len_l)
-                ep_steps += k
-                ep_loss += float(loss) * k  # one device sync per chunk
-                if (ci + 1) * k % cfg.log_every < k:
-                    logger.log(step=int(state.step), loss=float(loss),
-                               lr=float(sched(int(state.step) - 1)))
-        else:
-            batches = list(batch_indices(n, bs, rng=ep_rng))
-            by_shape = group_by_shape(batches, t_size, l_size,
-                                      cfg.mask_ratio, shape_rng)
-            for (len_t, len_l), group in by_shape.items():
-                for chunk, valid in group:
-                    # padded tail rows (wrapped duplicates) get weight 0 so
-                    # each cut contributes exactly once per epoch, like the
-                    # reference DataLoader's smaller final batch. Pass w only
-                    # when padding exists: the common all-valid batch keeps
-                    # the weightless (slightly cheaper) program.
-                    w = None if valid.all() else jnp.asarray(valid, jnp.float32)
-                    # multi-host: every process computes the same seeded
-                    # permutation; each gathers only its contiguous slice of
-                    # the global batch and shard_batch assembles the global
-                    # array from the per-process shards
-                    if multihost:
-                        sl = process_local_slice(bs)
-                        imgs = shard_batch(source.gather(locs[chunk[sl]]), mesh)
-                        if w is not None:
-                            w = shard_batch(w[sl], mesh, multihost=True)
-                    else:
-                        imgs = source.gather(locs[chunk])
-                        if mesh is not None:
-                            imgs = shard_batch(imgs, mesh)
-                            if w is not None:
-                                w = shard_batch(w, mesh)
+    # wait()/close() must run on EVERY exit path: an exception mid-
+    # training (OOM, data error) must not leak the orbax background
+    # save thread or leave the last enqueued async save uncommitted
+    try:
+        for epoch in range(start_epoch, end_epoch):
+            # profile the SECOND epoch: the first contains the compiles
+            # (the reference has no tracing at all; SURVEY.md §5)
+            if profile_dir and epoch == start_epoch + 1:
+                jax.profiler.start_trace(profile_dir)
+            # per-epoch reseeded shuffle, the reference's `stable(loader, 42+epoch)`
+            ep_rng = np.random.default_rng(cfg.seed + epoch)
+            shape_rng = _pyrandom.Random(cfg.seed * 1000 + epoch)
+            ep_loss, ep_steps = 0.0, 0
+            step_losses = []  # device arrays; summed in ONE sync at epoch end
+            t0 = time.perf_counter()
+            if fused:
+                # pad the shuffled epoch (wrapping) to whole [K, B] chunks
+                k = min(cfg.fused_steps, int(np.ceil(n / bs)))
+                order = ep_rng.permutation(n)
+                n_chunks = steps_per_epoch // k
+                order = np.resize(order, n_chunks * k * bs)
+                for ci in range(n_chunks):
+                    sel = order[ci * k * bs : (ci + 1) * k * bs].reshape(k, bs)
+                    locs_chunk = jnp.asarray(locs[sel])
+                    len_t, len_l = choose_grid_shape(t_size, l_size, cfg.mask_ratio, shape_rng)
                     rng = jax.random.fold_in(base_key, int(state.step))
-                    state, loss = step_fn(state, imgs, rng, len_t, len_l, w)
-                    ep_steps += 1
-                    # no per-step float(loss): the reference's per-step
-                    # .item() host sync (`Model_Pretraining.py:106`) is the
-                    # exact host-bound pattern SURVEY flags; losses stay on
-                    # device and sync once per log interval / epoch end
-                    step_losses.append(loss)
-                    if ep_steps % cfg.log_every == 0:
+                    state, loss = chunk_fn(state, locs_chunk, rng, len_t, len_l)
+                    ep_steps += k
+                    ep_loss += float(loss) * k  # one device sync per chunk
+                    if (ci + 1) * k % cfg.log_every < k:
                         logger.log(step=int(state.step), loss=float(loss),
                                    lr=float(sched(int(state.step) - 1)))
-        if step_losses:  # non-fused path: single host sync for the epoch
-            ep_loss = float(jnp.stack(step_losses).sum())
-        dt = time.perf_counter() - t0
-        if profile_dir and epoch == start_epoch + 1:
-            jax.profiler.stop_trace()
-        mean_loss = ep_loss / max(ep_steps, 1)
-        epoch_losses.append(mean_loss)
-        pps = ep_steps * bs / dt
-        logger.log(epoch=epoch, epoch_loss=mean_loss, patches_per_sec=pps)
-        print(f"[pretrain] epoch {epoch}: loss {mean_loss:.4f}  {pps:,.0f} patches/s")
-        if workdir and cfg.checkpoint_every_steps and (
-            (epoch + 1) * steps_per_epoch % cfg.checkpoint_every_steps < steps_per_epoch
-        ):
-            if use_orbax:
-                ckptr.save(int(state.step), state)  # async: returns at once
             else:
-                save_checkpoint(workdir, int(state.step), state)
-
-    if ckptr is not None:
-        ckptr.wait()  # async saves must be durable before the loop returns
-        ckptr.close()
+                batches = list(batch_indices(n, bs, rng=ep_rng))
+                by_shape = group_by_shape(batches, t_size, l_size,
+                                          cfg.mask_ratio, shape_rng)
+                for (len_t, len_l), group in by_shape.items():
+                    for chunk, valid in group:
+                        # padded tail rows (wrapped duplicates) get weight 0 so
+                        # each cut contributes exactly once per epoch, like the
+                        # reference DataLoader's smaller final batch. Pass w only
+                        # when padding exists: the common all-valid batch keeps
+                        # the weightless (slightly cheaper) program.
+                        w = None if valid.all() else jnp.asarray(valid, jnp.float32)
+                        # multi-host: every process computes the same seeded
+                        # permutation; each gathers only its contiguous slice of
+                        # the global batch and shard_batch assembles the global
+                        # array from the per-process shards
+                        if multihost:
+                            sl = process_local_slice(bs)
+                            imgs = shard_batch(source.gather(locs[chunk[sl]]), mesh)
+                            if w is not None:
+                                w = shard_batch(w[sl], mesh, multihost=True)
+                        else:
+                            imgs = source.gather(locs[chunk])
+                            if mesh is not None:
+                                imgs = shard_batch(imgs, mesh)
+                                if w is not None:
+                                    w = shard_batch(w, mesh)
+                        rng = jax.random.fold_in(base_key, int(state.step))
+                        state, loss = step_fn(state, imgs, rng, len_t, len_l, w)
+                        ep_steps += 1
+                        # no per-step float(loss): the reference's per-step
+                        # .item() host sync (`Model_Pretraining.py:106`) is the
+                        # exact host-bound pattern SURVEY flags; losses stay on
+                        # device and sync once per log interval / epoch end
+                        step_losses.append(loss)
+                        if ep_steps % cfg.log_every == 0:
+                            logger.log(step=int(state.step), loss=float(loss),
+                                       lr=float(sched(int(state.step) - 1)))
+            if step_losses:  # non-fused path: single host sync for the epoch
+                ep_loss = float(jnp.stack(step_losses).sum())
+            dt = time.perf_counter() - t0
+            if profile_dir and epoch == start_epoch + 1:
+                jax.profiler.stop_trace()
+            mean_loss = ep_loss / max(ep_steps, 1)
+            epoch_losses.append(mean_loss)
+            pps = ep_steps * bs / dt
+            logger.log(epoch=epoch, epoch_loss=mean_loss, patches_per_sec=pps)
+            print(f"[pretrain] epoch {epoch}: loss {mean_loss:.4f}  {pps:,.0f} patches/s")
+            if workdir and cfg.checkpoint_every_steps and (
+                (epoch + 1) * steps_per_epoch % cfg.checkpoint_every_steps < steps_per_epoch
+            ):
+                if use_orbax:
+                    ckptr.save(int(state.step), state)  # async: returns at once
+                else:
+                    save_checkpoint(workdir, int(state.step), state)
+    finally:
+        if ckptr is not None:
+            ckptr.wait()  # async saves must be durable before returning
+            ckptr.close()
     params = jax.device_get(state.params)
     if workdir:
         save_params(f"{workdir}/params_final.msgpack", params)

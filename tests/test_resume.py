@@ -61,6 +61,7 @@ def test_resume_continues_training(tmp_path, corpus):
 def test_orbax_backend_resume_matches_uninterrupted(tmp_path, corpus):
     """The async orbax backend satisfies the same bit-faithful resume
     contract as the msgpack backend (checkpoints/orbax_io.py)."""
+    pytest.importorskip("orbax.checkpoint")  # optional [orbax] extra
     src, locs = corpus
     cfg = PretrainConfig(epochs=3, batch_size=32, log_every=10**9,
                          checkpoint_every_steps=1,
@@ -87,9 +88,28 @@ def test_orbax_backend_resume_matches_uninterrupted(tmp_path, corpus):
     assert same, "orbax-resumed params diverge from the uninterrupted run"
 
 
+def test_resume_with_flipped_backend_errors(tmp_path, corpus):
+    """Resuming with a different --ckpt-backend than the workdir was written
+    with must error instead of silently restarting from epoch 0 and
+    overwriting params_final.msgpack (ADVICE r03)."""
+    src, locs = corpus
+    wd = str(tmp_path)
+    cfg = PretrainConfig(epochs=3, batch_size=32, log_every=10**9,
+                         checkpoint_every_steps=1)  # msgpack backend
+    run_pretraining(src, locs, TINY, cfg, workdir=wd, resume=False,
+                    stop_after_epochs=1)
+    flipped = PretrainConfig(epochs=3, batch_size=32, log_every=10**9,
+                             checkpoint_every_steps=1,
+                             checkpoint_backend="orbax")
+    pytest.importorskip("orbax.checkpoint")
+    with pytest.raises(RuntimeError, match="ckpt-backend"):
+        run_pretraining(src, locs, TINY, flipped, workdir=wd, resume=True)
+
+
 def test_orbax_checkpointer_retention_and_roundtrip(tmp_path):
     """Save/restore round-trip, latest-step selection, and max_to_keep
     retention of the orbax backend in isolation."""
+    pytest.importorskip("orbax.checkpoint")  # optional [orbax] extra
     import jax
     import jax.numpy as jnp
     import optax
