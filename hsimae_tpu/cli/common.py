@@ -47,6 +47,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bf16 compute dtype (params stay f32)")
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize transformer blocks in backward "
+                   "(same numerics, less activation HBM traffic; helps on "
+                   "bandwidth-bound sessions — ModelConfig.remat)")
 
 
 def model_config(args) -> ModelConfig:
@@ -59,6 +63,7 @@ def model_config(args) -> ModelConfig:
         patch_size=args.patch_size,
         b_patch_size=args.b_patch_size,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        remat=getattr(args, "remat", False),
     )
 
 

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt-max-keep", type=int, default=3,
                    help="orbax backend: checkpoints retained on disk "
                    "(0 = keep all); ignored by msgpack, which keeps all")
+    p.add_argument("--adam-mu-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="storage dtype of Adam's first moment "
+                   "(bfloat16 = less optimizer-state HBM traffic)")
     p.add_argument("--fused-steps", type=int, default=0)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of one steady epoch")
@@ -101,6 +105,8 @@ def main(argv=None):
         checkpoint_every_steps=args.ckpt_every, fused_steps=args.fused_steps,
         checkpoint_backend=args.ckpt_backend,
         ckpt_max_to_keep=args.ckpt_max_keep or None,
+        adam_mu_dtype=(None if args.adam_mu_dtype == "float32"
+                       else args.adam_mu_dtype),
     )
     params, hist = run_pretraining(
         source, index.locs, model_config(args), cfg,

@@ -68,6 +68,14 @@ class ModelConfig:
     # (`ops/fused_block.py` documents the gridded-compile workaround).
     use_pallas: bool = False
 
+    # rematerialize every transformer Block in the backward pass
+    # (flax.linen.remat -> jax.checkpoint): only block INPUTS are saved for
+    # the backward, trading recompute FLOPs for saved-activation HBM traffic.
+    # Numerics and the param tree are unchanged (test_models pins both).
+    # On this runtime's bandwidth-capped sessions bytes are the binding
+    # constraint, so the trade is favorable (RESULTS.md round-4 A/B).
+    remat: bool = False
+
     def __post_init__(self):
         if self.num_heads is None:
             object.__setattr__(self, "num_heads", self.embed_dim // 16)
@@ -140,6 +148,10 @@ class PretrainConfig:
     lr_min: float = 1e-6
     adam_b1: float = 0.9
     adam_b2: float = 0.95
+    # store Adam's first moment in this dtype (None = f32). "bfloat16" cuts
+    # optimizer-state HBM traffic; the update math still runs in f32 and the
+    # second moment stays f32 (see train/optim.adamw).
+    adam_mu_dtype: Optional[str] = None
     seed: int = 42
     log_every: int = 50
     checkpoint_every_steps: int = 0  # 0 = only save at end (reference behavior)

@@ -125,8 +125,12 @@ class HSIMAE(nn.Module):
         )
         dpr = np.linspace(0.0, c.drop_path, c.depth)
 
+        # remat: same params, same outputs — only the autodiff schedule
+        # changes (block activations recomputed in backward instead of saved)
+        block_cls = nn.remat(Block, static_argnums=(2,)) if c.remat else Block
+
         def block(dim, heads, rate, **kw):
-            return Block(
+            return block_cls(
                 dim,
                 heads,
                 mlp_ratio=c.mlp_ratio,

@@ -44,12 +44,17 @@ import functools
 @functools.lru_cache(maxsize=32)
 def _cached_classify(model, mesh=None):
     def fwd(p, x):
-        return model.apply({"params": p}, x, False, method=HSIMAE.classify)
+        logits = model.apply({"params": p}, x, False, method=HSIMAE.classify)
+        # argmax ON DEVICE with the background logit excluded, +1
+        # (`Model_Finetuning.py:277-280`): the scene loop fetches [B] int32
+        # labels instead of [B, C] f32 logits — C*4 fewer bytes per batch
+        # over the (slow) device->host link (ops/metrics_ops design note)
+        return jnp.argmax(logits[:, 1:], axis=-1).astype(jnp.int32) + 1
 
     if mesh is None:
         return jax.jit(fwd)
     # data-parallel eval: batch split over 'data', params replicated; XLA
-    # runs each shard's forward locally (no collectives needed for logits)
+    # runs each shard's forward locally (no collectives needed for labels)
     from hsimae_tpu.parallel.mesh import batch_sharding, replicated
 
     return jax.jit(fwd, in_shardings=(replicated(mesh), batch_sharding(mesh)))
@@ -111,9 +116,7 @@ def classify_scene(
         imgs = source.gather_pixels(chunk)
         if mesh is not None:
             imgs = jax.device_put(imgs, batch_sh)
-        logits = np.asarray(fwd(params, imgs))
-        # background logit excluded, +1 (`Model_Finetuning.py:277-280`)
-        pred = np.argmax(logits[:, 1:], axis=1) + 1
+        pred = np.asarray(fwd(params, imgs))  # [B] int32 labels, 1-based
         out[chunk[valid]] = pred[valid]
     return out.reshape(h, w)
 

@@ -39,7 +39,7 @@ from hsimae_tpu.models.masking import choose_grid_shape, group_by_shape
 from hsimae_tpu.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch
 from hsimae_tpu.train.optim import finetune_optimizer
 from hsimae_tpu.utils.logger import MetricLogger
-from hsimae_tpu.utils.metrics import Metrics, classification_metrics
+from hsimae_tpu.utils.metrics import Metrics, metrics_from_raw_confusion
 
 
 class TrainState(train_state.TrainState):
@@ -67,11 +67,6 @@ def _cached_dual_step(model: HSIMAE, lamda: float, flip_augment: bool):
     rebuild the same model config reuse one compiled step instead of paying
     the (very expensive on this backend) recompile per run."""
     return make_dual_step(model, lamda, flip_augment)
-
-
-@functools.lru_cache(maxsize=32)
-def _cached_eval_step(model: HSIMAE):
-    return make_eval_step(model)
 
 
 def make_dual_step(model: HSIMAE, lamda: float, flip_augment: bool = True):
@@ -104,9 +99,40 @@ def make_dual_step(model: HSIMAE, lamda: float, flip_augment: bool = True):
     return jax.jit(step, static_argnums=(7, 8), donate_argnums=(0,))
 
 
-def make_eval_step(model: HSIMAE):
-    def ev(params, x):
-        return model.apply({"params": params}, x, False, method=HSIMAE.classify)
+@functools.lru_cache(maxsize=32)
+def _cached_eval_metrics_step(model: HSIMAE, n_classes: int):
+    return make_eval_metrics_step(model, n_classes)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_cm_op(n_classes: int):
+    """Jitted weighted confusion update for the TRAIN loop's logits (the
+    dual step already returns them; this adds one tiny [C, C] op per step
+    so the epoch-end sync is a single matrix)."""
+    from hsimae_tpu.ops.metrics_ops import confusion_matrix_op
+
+    return jax.jit(lambda y, p, w: confusion_matrix_op(y, p, n_classes, w))
+
+
+def make_eval_metrics_step(model: HSIMAE, n_classes: int):
+    """``ev(params, x, y, w) -> (cm, ce_sum, ce_count)``: forward + argmax +
+    confusion-matrix update + masked CE partial sums, all on device — the
+    val loop syncs ONE [C, C] matrix and two scalars per eval pass instead of
+    every logit batch (ops/metrics_ops; the reference ships all logits to
+    sklearn per epoch, `/root/reference/Model_Finetuning.py:176-179`).
+    ``w`` zero-weights padded rows."""
+    from hsimae_tpu.ops.metrics_ops import confusion_matrix_op
+
+    def ev(params, x, y, w):
+        logits = model.apply({"params": params}, x, False,
+                             method=HSIMAE.classify)
+        pred = jnp.argmax(logits, axis=-1)
+        cm = confusion_matrix_op(y, pred, n_classes, weight=w)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+        m = (y != 0).astype(jnp.float32) * w  # CE ignore_index=0
+        return cm, -(ll * m).sum(), m.sum()
 
     return jax.jit(ev)
 
@@ -168,7 +194,8 @@ def dual_branch_finetune(
         state = replicate(state, mesh)
 
     step_fn = _cached_dual_step(model, cfg.lamda, True)
-    eval_fn = _cached_eval_step(model)
+    eval_fn = _cached_eval_metrics_step(model, n_class)
+    cm_fn = _cached_cm_op(n_class)
     base_key = jax.random.PRNGKey(seed)
     logger = logger or MetricLogger(workdir)
     t_size, l_size = model_cfg.t_size, model_cfg.l_size
@@ -184,9 +211,10 @@ def dual_branch_finetune(
         un_pos = 0
         # device-side accumulators: one host sync per EPOCH, not per step
         # (the reference's per-step .item() is its host-bound weakness,
-        # `Model_Finetuning.py:163-179`; SURVEY §3.2)
-        step_losses, step_recs, dev_preds = [], [], []
-        valids, gts = [], []
+        # `Model_Finetuning.py:163-179`; SURVEY §3.2). Train accuracy
+        # accumulates as [C, C] confusion updates (ops/metrics_ops), so the
+        # epoch-end sync is one matrix, not every step's predictions.
+        step_losses, step_recs, step_cms = [], [], []
         batches = list(batch_indices(n_tr, bs_l, rng=ep_rng))
         by_shape = group_by_shape(batches, t_size, l_size,
                                   cfg.mask_ratio, shape_rng)
@@ -213,42 +241,37 @@ def dual_branch_finetune(
             )
             step_losses.append(loss)
             step_recs.append(loss_rec)
-            dev_preds.append(jnp.argmax(logits, axis=-1))
-            valids.append(valid)
-            gts.append(tr_y[chunk][valid])
+            step_cms.append(cm_fn(y, jnp.argmax(logits, axis=-1), w))
 
-        # single epoch-end sync for losses + train predictions
+        # single epoch-end sync for losses + the summed train confusion
         ep_loss = float(jnp.stack(step_losses).sum())
         ep_rec = float(jnp.stack(step_recs).sum())
-        preds = [np.asarray(p)[v] for p, v in zip(dev_preds, valids)]
-        tr_m = classification_metrics(np.concatenate(gts), np.concatenate(preds))
+        tr_m = metrics_from_raw_confusion(np.asarray(jnp.stack(step_cms).sum(0)))
         hist["loss"].append(ep_loss / steps_per_epoch)
         hist["loss_rec"].append(ep_rec / steps_per_epoch)
         hist["train_aa"].append(tr_m.aa)
 
         if (epoch + 1) % eval_every == 0 or epoch == cfg.epochs - 1:
-            vp, vg, vlogits = [], [], []
+            v_cms, v_ces, v_cnts = [], [], []
             for chunk, valid in batch_indices(
                 len(va_idx), min(cfg.val_batch_size, len(va_idx)),
                 shuffle=False,
             ):
                 xv = source.gather_pixels(va_idx[chunk])
-                logits = eval_fn(state.params, xv)
-                vp.append(np.asarray(jnp.argmax(logits, axis=-1))[valid])
-                vg.append(va_y[chunk][valid])
-                vlogits.append(np.asarray(logits)[valid])
-            vg_all = np.concatenate(vg)
-            vm = classification_metrics(vg_all, np.concatenate(vp))
-            # val CE loss (ignore_index=0), the reference's 4th curve
+                yv = jnp.asarray(va_y[chunk] * valid, jnp.int32)
+                cm, ce, cnt = eval_fn(state.params, xv, yv,
+                                      jnp.asarray(valid, jnp.float32))
+                v_cms.append(cm)
+                v_ces.append(ce)
+                v_cnts.append(cnt)
+            # ONE sync per eval pass: a [C, C] confusion matrix + the CE
+            # partial sums (ops/metrics_ops) — never the logit batches.
+            # val CE loss (ignore_index=0) is the reference's 4th curve
             # (`Model_Finetuning.py:207-209,223-233`)
-            z = np.concatenate(vlogits).astype(np.float64)
-            z -= z.max(axis=-1, keepdims=True)
-            logp = z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
-            vmask = vg_all != 0
-            val_loss = float(
-                -(logp[np.arange(len(vg_all)), vg_all] * vmask).sum()
-                / max(vmask.sum(), 1)
-            )
+            vm = metrics_from_raw_confusion(
+                np.asarray(jnp.stack(v_cms).sum(0)))
+            val_loss = float(jnp.stack(v_ces).sum()
+                             / jnp.maximum(jnp.stack(v_cnts).sum(), 1.0))
             hist["val_loss"].append(val_loss)
             hist["val_oa"].append(vm.oa)
             hist["val_aa"].append(vm.aa)

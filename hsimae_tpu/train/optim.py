@@ -80,9 +80,15 @@ def adamw(
     eps: float = 1e-8,
     params_example=None,
     grad_clip: Optional[float] = None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with the reference's decay mask. ``params_example`` is only used
-    to build the mask shape; optax masks take a callable so it stays lazy."""
+    to build the mask shape; optax masks take a callable so it stays lazy.
+
+    ``mu_dtype`` (e.g. ``jnp.bfloat16``) stores the FIRST moment in reduced
+    precision — an HBM byte cut for bandwidth-bound steps. The second moment
+    stays f32 (its dynamic range drives the update denominator; optax exposes
+    no nu_dtype, deliberately)."""
     txs = []
     if grad_clip is not None:
         txs.append(optax.clip_by_global_norm(grad_clip))
@@ -92,6 +98,7 @@ def adamw(
             b1=b1,
             b2=b2,
             eps=eps,
+            mu_dtype=mu_dtype,
             weight_decay=weight_decay,
             mask=wd_mask,
         )
@@ -107,6 +114,7 @@ def pretrain_optimizer(
     lr_min: float = 1e-6,
     b1: float = 0.9,
     b2: float = 0.95,
+    mu_dtype=None,
 ):
     """Per-iteration cosine with 5% warmup (`Model_Pretraining.py:86-88`).
 
@@ -127,7 +135,7 @@ def pretrain_optimizer(
     def sched(t):
         return inner(jnp.maximum(jnp.asarray(t) - 1, 0))
 
-    return adamw(sched, weight_decay, b1=b1, b2=b2), sched
+    return adamw(sched, weight_decay, b1=b1, b2=b2, mu_dtype=mu_dtype), sched
 
 
 def finetune_optimizer(

@@ -219,6 +219,7 @@ def run_pretraining(
         cfg.lr, cfg.weight_decay, total_steps,
         warmup_frac=cfg.warmup_frac, lr_min=cfg.lr_min,
         b1=cfg.adam_b1, b2=cfg.adam_b2,
+        mu_dtype=jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None,
     )
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:

@@ -65,6 +65,29 @@ def metrics_from_confusion(cm: np.ndarray) -> Metrics:
                    per_class=per_class)
 
 
+def metrics_from_raw_confusion(cm: np.ndarray) -> Metrics:
+    """Metrics from a confusion matrix accumulated over RAW labels (row/col 0
+    = background): numerically equivalent to
+    ``classification_metrics(y_true, y_pred)`` without needing the per-sample
+    labels on host — the on-device eval loops accumulate the [C, C] matrix
+    with :func:`hsimae_tpu.ops.metrics_ops.confusion_matrix_op` and sync it
+    once per eval pass (vs the reference shipping every logit batch,
+    `/root/reference/Model_Finetuning.py:176-179`).
+
+    Semantics preserved from :func:`classification_metrics`: true-background
+    rows are excluded; background PREDICTIONS become an always-wrong bucket
+    column (sklearn's extra-label convention). ``per_class`` has length
+    ``C - 1`` (recall per foreground class, aligned by class index).
+    """
+    cm = np.asarray(cm, dtype=np.float64)
+    c = cm.shape[0]
+    s = np.zeros((c, c))
+    s[: c - 1, : c - 1] = cm[1:, 1:]
+    s[: c - 1, c - 1] = cm[1:, 0]  # predicted-background bucket
+    m = metrics_from_confusion(s)
+    return Metrics(oa=m.oa, aa=m.aa, kappa=m.kappa, per_class=m.per_class[: c - 1])
+
+
 def classification_metrics(y_true, y_pred, ignore_zero: bool = True) -> Metrics:
     """Metrics on the reference's convention: label 0 is background.
 

@@ -196,6 +196,54 @@ def test_hsimae_pretrain_forward_and_grad():
     assert all(nonzero), f"{sum(nonzero)}/{len(nonzero)} grads nonzero"
 
 
+def test_remat_matches_baseline_exactly():
+    """ModelConfig.remat changes only the autodiff schedule: identical param
+    tree, identical loss, grads equal to the non-remat model (the remat A/B
+    on TPU is purely a bytes-vs-recompute trade, never a numerics change)."""
+    base = build_hsimae(TINY)
+    rem = build_hsimae(TINY.replace(remat=True))
+    params = init_model(base, 0)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(init_model(rem, 0)))
+    imgs = jnp.asarray(np.random.default_rng(1).normal(size=(4, 9, 9, 32)),
+                       jnp.float32)
+
+    def loss_fn(p, m):
+        loss, _, _, _ = m.apply(p, imgs, 2, 9, True, rngs=_rngs(),
+                                method=HSIMAE.forward_pretrain)
+        return loss
+
+    (l0, g0) = jax.value_and_grad(loss_fn)(params, base)
+    (l1, g1) = jax.value_and_grad(loss_fn)(params, rem)
+    assert np.isclose(float(l0), float(l1), rtol=1e-6)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.allclose(a, b, rtol=1e-5, atol=1e-7), g0, g1))
+
+
+def test_remat_with_droppath_uses_one_rng_draw():
+    """Remat + stochastic depth: the droppath rng must be drawn once and
+    replayed in the rematerialized backward (flax threads the rng through
+    jax.checkpoint), so grads stay finite and deterministic per key."""
+    cfg = TINY.replace(drop_path=0.2, remat=True, num_classes=5)
+    model = build_dual_vit(cfg, num_classes=5)
+    params = init_model(model, 0)
+    imgs = jnp.asarray(np.random.default_rng(2).normal(size=(4, 9, 9, 32)),
+                       jnp.float32)
+    y = jnp.asarray([1, 2, 3, 4], jnp.int32)
+
+    def loss_fn(p):
+        rec, logits = model.apply(p, imgs, imgs, 2, 5, True, rngs=_rngs(),
+                                  method=HSIMAE.forward_dual)
+        onehot = jax.nn.one_hot(y, 5)
+        return rec + ((logits - onehot) ** 2).mean()
+
+    g_a = jax.grad(loss_fn)(params)
+    g_b = jax.grad(loss_fn)(params)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(g_a))
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), g_a, g_b))
+
+
 def test_dual_vit_forward():
     model = build_dual_vit(TINY, num_classes=7)
     params = init_model(model, 0)

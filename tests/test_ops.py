@@ -80,3 +80,29 @@ def test_update_confusion_accumulates_with_weights():
     cm = update_confusion(cm, y, p, w)
     want = np.zeros((3, 3)); want[0, 0] = 1; want[1, 1] = 1; want[2, 2] = 1
     np.testing.assert_array_equal(np.asarray(cm), want)
+
+
+def test_device_confusion_metrics_equal_host_path():
+    """The production eval path (finetune val loop / scene eval) accumulates
+    a raw [C, C] confusion on device and derives metrics with
+    metrics_from_raw_confusion; it must agree with the per-sample host path
+    (classification_metrics) — incl. background rows (excluded) and
+    background predictions (always-wrong bucket)."""
+    from hsimae_tpu.utils.metrics import (
+        classification_metrics,
+        metrics_from_raw_confusion,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        c = int(rng.integers(3, 9))  # classes incl. background 0
+        y = rng.integers(0, c, 500)
+        p = rng.integers(0, c, 500)  # predictions may hit background 0
+        cm = np.asarray(confusion_matrix_op(jnp.asarray(y), jnp.asarray(p), c))
+        got = metrics_from_raw_confusion(cm)
+        want = classification_metrics(y, p)
+        assert np.isclose(got.oa, want.oa), (trial, got, want)
+        assert np.isclose(got.aa, want.aa), (trial, got, want)
+        assert np.isclose(got.kappa, want.kappa), (trial, got, want)
+        n = len(want.per_class)
+        np.testing.assert_allclose(got.per_class[:n], want.per_class)

@@ -175,6 +175,31 @@ def test_pretrain_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_pretrain_optimizer_bf16_mu_state():
+    """adam_mu_dtype='bfloat16' stores the first moment in bf16 (the HBM byte
+    cut), leaves nu in f32, and still trains the loss down."""
+    model = build_hsimae(TINY)
+    params = init_model(model, seed=0)["params"]
+    tx, _ = pretrain_optimizer(1e-3, 1e-4, total_steps=50,
+                               mu_dtype=jnp.bfloat16)
+    state = PTState.create(apply_fn=model.apply, params=params, tx=tx)
+    adam = state.opt_state[0][0] if isinstance(state.opt_state[0], tuple) \
+        else state.opt_state[0]
+    mu_dtypes = {np.asarray(x).dtype for x in jax.tree.leaves(adam.mu)}
+    nu_dtypes = {np.asarray(x).dtype for x in jax.tree.leaves(adam.nu)}
+    assert mu_dtypes == {np.dtype(jnp.bfloat16)}, mu_dtypes
+    assert nu_dtypes == {np.dtype(np.float32)}, nu_dtypes
+
+    step = make_pretrain_step(model, flip_augment=False)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (16, 9, 9, 32))
+    losses = []
+    for _ in range(12):
+        state, loss = step(state, imgs, jax.random.fold_in(rng, 0), 2, 9)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
 def test_dual_step_shapes_and_finite():
     cfg = TINY.replace(num_classes=4)
     model = build_dual_vit(cfg, 4)
