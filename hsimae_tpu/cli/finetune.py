@@ -85,6 +85,8 @@ def main(argv=None):
             proto, EvalConfig(),
             samples_per_class=args.samples_per_class,
             pretrained=pretrained, gwpca=args.gwpca,
+            resume_dir=args.workdir,  # completed (lr, seed) runs persist and
+            # are skipped on restart (protocol_runs.jsonl)
         )
         print(json.dumps({
             "best_lr": res.best_lr,

@@ -15,6 +15,8 @@ init and split.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -72,6 +74,39 @@ def _run_one(
     return res.val_metrics, test_m
 
 
+def _runs_path(resume_dir: str) -> str:
+    return os.path.join(resume_dir, "protocol_runs.jsonl")
+
+
+def _load_completed(resume_dir: Optional[str]) -> Dict[tuple, dict]:
+    """Completed-run records keyed by (stage, lr, seed, spc). Corrupt or
+    truncated lines (a kill mid-append) are skipped: the run just re-runs."""
+    done: Dict[tuple, dict] = {}
+    if not resume_dir:
+        return done
+    try:
+        with open(_runs_path(resume_dir)) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                    done[(r["stage"], r["lr"], r["seed"], r["spc"])] = r
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    except OSError:
+        pass
+    return done
+
+
+def _append_run(resume_dir: Optional[str], rec: dict) -> None:
+    if not resume_dir:
+        return
+    os.makedirs(resume_dir, exist_ok=True)
+    with open(_runs_path(resume_dir), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def run_protocol(
     scene_raw: np.ndarray,
     gt: np.ndarray,
@@ -83,12 +118,27 @@ def run_protocol(
     pretrained: Optional[dict] = None,
     gwpca: bool = True,
     verbose: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> ProtocolResult:
+    """``resume_dir`` makes the protocol preemption-safe: every completed
+    (lr, seed) run is appended to ``protocol_runs.jsonl`` there, and a
+    restarted call skips runs already on disk — on real datasets the full
+    protocol is 17 x 200-epoch finetunes per budget (a multi-day job,
+    `/root/reference/Model_Finetuning.py:304-447`), and losing completed
+    runs to a preemption would be unaffordable. Each run is independently
+    seeded, so skip-and-continue reproduces the uninterrupted result."""
+    done = _load_completed(resume_dir)
+    spc = samples_per_class
+
     # ---- stage 1: lr selection on val, selection_seeds runs each ----------
     scores: Dict[float, float] = {}
     for lr in proto.lr_grid:
         vals = []
         for seed in proto.seeds[: proto.selection_seeds]:
+            key = ("select", lr, seed, spc)
+            if key in done:
+                vals.append(done[key]["val_mean3"])
+                continue
             vm, _ = _run_one(
                 scene_raw, gt, model_cfg,
                 dataclasses.replace(ft_cfg, lr=lr),
@@ -96,6 +146,9 @@ def run_protocol(
                 evaluate=False, eval_cfg=eval_cfg,
             )
             vals.append(vm.mean3)
+            _append_run(resume_dir, {"stage": "select", "lr": lr,
+                                     "seed": seed, "spc": spc,
+                                     "val_mean3": vm.mean3})
         scores[lr] = float(np.mean(vals))
         if verbose:
             print(f"[protocol] lr={lr:g}: selection score {scores[lr]:.4f}")
@@ -104,12 +157,22 @@ def run_protocol(
     # ---- stage 2: test_seeds full runs at best lr --------------------------
     test_ms: List[Metrics] = []
     for seed in proto.seeds[: proto.test_seeds]:
-        _, tm = _run_one(
-            scene_raw, gt, model_cfg,
-            dataclasses.replace(ft_cfg, lr=best_lr),
-            seed, samples_per_class, pretrained, gwpca,
-            evaluate=True, eval_cfg=eval_cfg,
-        )
+        key = ("test", best_lr, seed, spc)
+        if key in done:
+            r = done[key]
+            tm = Metrics(oa=r["oa"], aa=r["aa"], kappa=r["kappa"],
+                         per_class=np.asarray(r["per_class"]))
+        else:
+            _, tm = _run_one(
+                scene_raw, gt, model_cfg,
+                dataclasses.replace(ft_cfg, lr=best_lr),
+                seed, samples_per_class, pretrained, gwpca,
+                evaluate=True, eval_cfg=eval_cfg,
+            )
+            _append_run(resume_dir, {
+                "stage": "test", "lr": best_lr, "seed": seed, "spc": spc,
+                "oa": tm.oa, "aa": tm.aa, "kappa": tm.kappa,
+                "per_class": [float(x) for x in tm.per_class]})
         test_ms.append(tm)
         if verbose:
             print(f"[protocol] seed {seed}: test {tm}")

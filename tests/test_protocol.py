@@ -21,3 +21,55 @@ def test_run_protocol_micro():
     assert 0.0 <= res.oa_mean <= 1.0
     assert res.per_class_mean.shape[0] >= 3 - 1  # aligned per-class accuracies
     assert np.isfinite(res.oa_std)
+
+
+def test_run_protocol_resumes_after_kill(tmp_path, monkeypatch):
+    """Preemption-safety (VERDICT r03 item 7): a protocol killed mid-run
+    restarts from protocol_runs.jsonl, skips every completed (lr, seed) run,
+    and ends with the same result as an uninterrupted protocol."""
+    import hsimae_tpu.train.protocol as P
+
+    scene, gt = make_synthetic_scene(20, 20, bands=40, n_classes=3, seed=4)
+    cfg = preset("HSIMAE-S", depth=2, s_depth=1, decoder_depth=1,
+                 embed_dim=32, num_heads=2, decoder_dim=16, decoder_num_heads=2)
+    proto = ProtocolConfig(lr_grid=(1e-3, 1e-4), selection_seeds=1, test_seeds=2)
+    ft = FinetuneConfig(epochs=2, batch_size=8)
+    kw = dict(samples_per_class=5, gwpca=True, verbose=False)
+
+    full = run_protocol(scene, gt, cfg, ft, proto, EvalConfig(), **kw)
+
+    # "kill" the protocol after its 3rd finetune run (mid stage-2)
+    real = P._run_one
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise KeyboardInterrupt("simulated preemption")
+        return real(*a, **k)
+
+    wd = str(tmp_path)
+    monkeypatch.setattr(P, "_run_one", dying)
+    try:
+        run_protocol(scene, gt, cfg, ft, proto, EvalConfig(),
+                     resume_dir=wd, **kw)
+        raise AssertionError("expected the simulated preemption")
+    except KeyboardInterrupt:
+        pass
+    assert (tmp_path / "protocol_runs.jsonl").exists()
+
+    # restart: only the remaining runs execute (3 of 4 are on disk)
+    calls2 = {"n": 0}
+
+    def counting(*a, **k):
+        calls2["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(P, "_run_one", counting)
+    res = run_protocol(scene, gt, cfg, ft, proto, EvalConfig(),
+                       resume_dir=wd, **kw)
+    assert calls2["n"] == 1  # 2 select + 2 test total; 3 were completed
+    assert res.best_lr == full.best_lr
+    assert np.isclose(res.oa_mean, full.oa_mean)
+    assert np.isclose(res.kappa_mean, full.kappa_mean)
+    np.testing.assert_allclose(res.per_class_mean, full.per_class_mean)
