@@ -14,6 +14,28 @@ sequence stays resident — zero HBM round-trips between the seven matmuls.
 Use :func:`fused_encoder_block` (same math as ``models.layers.Block`` without
 drop-path — pretraining's default) and gate it with
 ``FUSED_BLOCK_AVAILABLE``; a pure-XLA fallback keeps CPU tests green.
+
+STATUS — retired from the default path, by measurement (SURVEY.md §7 step 6
+says Pallas "where profiling justifies it"; it did not):
+
+* XLA's own fused block runs at 0.31-0.66 ms/batch on the target chip —
+  already at the hardware ceiling for these tiny sequences (RESULTS.md
+  round 2 A/B), so the kernel has no throughput win to offer;
+* the gridded ``pallas_call`` has NEVER compiled on this runtime (remote
+  Mosaic compile exceeded 18 min); the shipped workaround lowers the grid to
+  a **sequential** ``lax.map`` over <=256-row single-program calls, which is
+  strictly slower than the XLA path;
+* no custom VJP is defined, so the kernel is inference-only; training always
+  uses XLA's fused backward.
+
+CI consequence: on CPU (and whenever ``FUSED_BLOCK_AVAILABLE`` is false)
+``fused_encoder_block`` short-circuits to :func:`_block_math` — the pure-XLA
+reference — so the ``tests/test_ops.py`` parity tests exercise the FALLBACK
+math and the model-path wiring, never a ``pallas_call``. The kernel body has
+only been validated manually on the TPU. It stays in the tree as the
+documented starting point if a future geometry (bigger dims/sequences) makes
+a fused kernel worthwhile, gated behind the default-off
+``ModelConfig.use_pallas``.
 """
 
 from __future__ import annotations

@@ -1,4 +1,12 @@
-"""Tests for hsimae_tpu.ops: fused block math and on-device metrics."""
+"""Tests for hsimae_tpu.ops: fused block math and on-device metrics.
+
+Honest-coverage note (ops/fused_block.py STATUS): on CPU,
+``fused_encoder_block`` short-circuits to its pure-XLA ``_block_math``
+fallback, so the fused-block tests below pin the FALLBACK math and the
+``cfg.use_pallas`` model wiring — they never execute a ``pallas_call``.
+The kernel body itself is TPU-manual-only (retired from the default path
+by measurement; RESULTS.md round 2).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +20,7 @@ from hsimae_tpu.utils.metrics import confusion_matrix
 
 
 def test_fused_block_matches_flax_block():
+    """Fallback-math parity (see module docstring: no pallas_call on CPU)."""
     dim, heads, s, m = 64, 4, 9, 32
     block = Block(dim, heads)
     x = jax.random.normal(jax.random.PRNGKey(0), (m, s, dim), jnp.float32)
