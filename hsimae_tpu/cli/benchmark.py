@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-size", type=int, default=48)
     p.add_argument("--synthetic-bands", type=int, default=103)
     p.add_argument("--synthetic-classes", type=int, default=6)
+    p.add_argument("--synthetic-texture", action="store_true",
+                   help="textured scene (make_textured_scene): class = joint "
+                        "spatial-spectral structure; pixel classifiers are "
+                        "at chance")
     p.add_argument("--samples-per-class", type=int, default=10)
     # the baseline harness's grid (`Compared_Experiment.py:536`), which is
     # one decade lower than the HSIMAE finetuning grid
@@ -48,12 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _load(args):
     if args.synthetic:
-        from hsimae_tpu.data.synthetic import make_synthetic_scene
+        from hsimae_tpu.data.synthetic import (
+            make_synthetic_scene,
+            make_textured_scene,
+        )
 
-        return make_synthetic_scene(args.synthetic_size, args.synthetic_size,
-                                    bands=args.synthetic_bands,
-                                    n_classes=args.synthetic_classes,
-                                    seed=args.seed)
+        gen = (make_textured_scene if args.synthetic_texture
+               else make_synthetic_scene)
+        return gen(args.synthetic_size, args.synthetic_size,
+                   bands=args.synthetic_bands,
+                   n_classes=args.synthetic_classes,
+                   seed=args.seed)
     if not args.scene or not args.gt:
         raise SystemExit("need --scene/--gt or --synthetic")
     return np.load(args.scene), np.load(args.gt)

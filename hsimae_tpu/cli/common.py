@@ -85,6 +85,10 @@ def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
                         "explicitly when chaining CLIs whose --seed defaults "
                         "differ (e.g. finetune then evaluate), so every step "
                         "sees the SAME generated scene")
+    p.add_argument("--synthetic-texture", action="store_true",
+                   help="textured scene family (make_textured_scene): class "
+                        "identity lives only in joint spatial-spectral "
+                        "structure — per-pixel classifiers are at chance")
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
 
 
@@ -100,10 +104,16 @@ def resolve_synthetic_seed(args) -> int:
 
 def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
     if args.synthetic:
-        from hsimae_tpu.data.synthetic import make_synthetic_scene
+        from hsimae_tpu.data.synthetic import (
+            make_synthetic_scene,
+            make_textured_scene,
+        )
 
+        gen = (make_textured_scene
+               if getattr(args, "synthetic_texture", False)
+               else make_synthetic_scene)
         seed = resolve_synthetic_seed(args)
-        return make_synthetic_scene(
+        return gen(
             args.synthetic_size, args.synthetic_size,
             bands=args.synthetic_bands, n_classes=args.synthetic_classes,
             seed=seed,
@@ -119,10 +129,16 @@ def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
 
 def load_pretrain_scenes(args) -> List[np.ndarray]:
     if args.synthetic:
-        from hsimae_tpu.data.synthetic import make_synthetic_pretrain_scenes
+        from hsimae_tpu.data.synthetic import (
+            make_synthetic_pretrain_scenes,
+            make_textured_pretrain_scenes,
+        )
 
+        gen = (make_textured_pretrain_scenes
+               if getattr(args, "synthetic_texture", False)
+               else make_synthetic_pretrain_scenes)
         seed = resolve_synthetic_seed(args)
-        return make_synthetic_pretrain_scenes(
+        return gen(
             n_scenes=args.synthetic_scenes,
             size_range=(args.synthetic_size // 2, args.synthetic_size),
             bands=args.synthetic_bands,

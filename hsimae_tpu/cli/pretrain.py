@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-scenes", type=int, default=3)
     p.add_argument("--synthetic-size", type=int, default=64)
     p.add_argument("--synthetic-bands", type=int, default=103)
+    p.add_argument("--synthetic-texture", action="store_true",
+                   help="textured corpus (make_textured_pretrain_scenes)")
     p.add_argument("--synthetic-seed", type=int, default=None,
                    help="scene-generation seed; defaults to --seed "
                         "(decouple when comparing runs that must share a corpus)")

@@ -6,7 +6,7 @@ from hsimae_tpu.data.sampling import (
     DualSceneSplit,
     dual_scene_split,
 )
-from hsimae_tpu.data.synthetic import make_synthetic_scene
+from hsimae_tpu.data.synthetic import make_synthetic_scene, make_textured_scene
 from hsimae_tpu.data.datasets import (
     REGISTRY as DATASET_REGISTRY,
     get_data_path,
@@ -27,6 +27,7 @@ __all__ = [
     "DualSceneSplit",
     "dual_scene_split",
     "make_synthetic_scene",
+    "make_textured_scene",
     "ScenePatchSource",
     "MultiScenePatchSource",
     "augment_flips",
