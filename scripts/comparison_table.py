@@ -1,15 +1,24 @@
 """Full comparison table: the 10-model zoo + SVM-RBF at registry budgets.
 
 Reproduces the reference harness experiment (`Compared_Experiment.py:522-636`)
-on the shared synthetic scene (same raw scene as scripts/protocol_table.py,
-64x64, 103 bands, 6 classes, seed 3407): per model, lr grid
-[1e-3, 5e-4, 1e-4, 5e-5] x 3 selection seeds -> best lr x 5 test seeds with
-full-scene eval, at each model's registry epochs (200-1000, early stop where
-the reference uses it). Run on the TPU; compiled steps are shared across the
-17 runs of each model.
+on a shared synthetic scene: per model, lr grid [1e-3, 5e-4, 1e-4, 5e-5] x 3
+selection seeds -> best lr x 5 test seeds with full-scene eval, at each
+model's registry epochs (200-1000, early stop where the reference uses it).
+Compiled steps are shared across the 17 runs of each model.
 
-Results stream to /tmp/comparison_table.json (one model at a time, so an
-interrupted run keeps its finished rows).
+Scenes:
+  default      — the spectrally-separable scene (make_synthetic_scene,
+                 64x64x103, 6 classes, seed 3407; round-2 table)
+  --texture    — the joint spatial-spectral scene (make_textured_scene, same
+                 geometry/seed): per-pixel classifiers are at chance, class
+                 identity lives in 9x9 texture (VERDICT r03 item 3)
+
+Device: runs on whatever jax finds; set HSIMAE_FORCE_CPU=1 to pin CPU (safe
+alongside TPU work — accuracy numbers are device-independent).
+
+Results stream one model at a time to the --out path (default
+/tmp/comparison_table.json; texture default /tmp/comparison_table_texture
+.json), so an interrupted run keeps its finished rows.
 """
 
 import json
@@ -17,10 +26,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from tpu_session import ensure_fast_session  # noqa: E402
+if os.environ.get("HSIMAE_FORCE_CPU"):
+    import jax
 
-ensure_fast_session()
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
@@ -31,17 +42,24 @@ sys.path.insert(0, "/root/repo")
 
 from hsimae_tpu.cli import benchmark as bench_cli  # noqa: E402
 
-OUT = "/tmp/comparison_table.json"
-
 
 def main():
-    models = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    texture = "--texture" in argv
+    argv = [a for a in argv if a != "--texture"]
+    out = "/tmp/comparison_table_texture.json" if texture \
+        else "/tmp/comparison_table.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    models = argv or [
         "SSRN", "FDSSC", "DBDA", "SSFTT", "SpectralFormer",
         "HybridFormer", "GSC-ViT", "DCTN", "RSSAN", "HiT", "SVM-RBF",
     ]
     done = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out):
+        with open(out) as f:
             done = json.load(f)
     for name in models:
         if name in done:
@@ -56,7 +74,7 @@ def main():
                     "--synthetic-bands", "103", "--synthetic-classes", "6",
                     "--samples-per-class", "10", "--selection-seeds", "3",
                     "--test-seeds", "5", "--models", name,
-                ])
+                ] + (["--synthetic-texture"] if texture else []))
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"== {name} attempt {attempt} failed: {e}", flush=True)
@@ -64,7 +82,7 @@ def main():
             continue
         done[name] = {**rep[name],
                       "minutes": round((time.perf_counter() - t0) / 60, 1)}
-        with open(OUT, "w") as f:
+        with open(out, "w") as f:
             json.dump(done, f, indent=2)
         print(f"== {name} done in {done[name]['minutes']} min", flush=True)
 

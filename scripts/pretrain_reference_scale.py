@@ -10,12 +10,16 @@ synthetic 1600x1600x103 scenes, GWPCA'd to 32 bands:
   +  1 coarse scene x ((1600-9)//9+1)^2 =  31,329 cuts
   = 3,978,783 patches  (~4M, like the reference corpus)
 
-HSIMAE-B, bf16, batch 2048 (~1943 steps/epoch), periodic resumable
-checkpoints. Phases (argv[1]):
+bf16 compute, batch 2048 (~1943 steps/epoch), periodic resumable
+checkpoints. Model size from HSIMAE_REFSCALE_MODEL (default HSIMAE-B; the
+reference also ships Large [12, 256, 9] — `Model_Pretraining.py:130`,
+`README.md:37` — run with HSIMAE_REFSCALE_MODEL=HSIMAE-L). Phases (argv[1]):
 
   prepare  — generate + GWPCA the 15 scenes into /tmp/refscale/scenes/
              (cached; ~5 GB on disk) [host-only, no TPU]
-  train    — run/resume the pretrain (HSIMAE_REFSCALE_EPOCHS, default 3)
+  train    — run/resume the pretrain (HSIMAE_REFSCALE_EPOCHS, default 3;
+             HSIMAE_REFSCALE_BS, default 2048; HSIMAE_REFSCALE_REMAT=1 for
+             activation-memory headroom)
 
 The deliberate mid-run kill + resume is driven externally: SIGKILL the train
 phase once a checkpoint exists, re-invoke `train`, and the loop prints
@@ -31,7 +35,8 @@ import time
 import numpy as np
 
 SCENE_DIR = "/tmp/refscale/scenes"
-WORKDIR = "/tmp/refscale/pt_b"
+MODEL = os.environ.get("HSIMAE_REFSCALE_MODEL", "HSIMAE-B")
+WORKDIR = f"/tmp/refscale/pt_{MODEL.split('-')[-1].lower()}"
 N_SCENES = 15
 SCENE_HW = 1600
 RAW_BANDS = 103
@@ -82,7 +87,7 @@ def _train_inner():
     assert len(scenes) == N_SCENES, f"run `prepare` first ({len(scenes)} scenes)"
     main([
         "--scenes", *scenes, "--no-gwpca",
-        "--model", "HSIMAE-B", "--bf16",
+        "--model", MODEL, "--bf16",
         # bf16 scene storage: the 4.6 GB f32 buffer OOMs the multi-tenant
         # chip alongside the bs=2048 step working set (scripts/diag_oom.py)
         "--scene-dtype", "bfloat16",
@@ -90,7 +95,7 @@ def _train_inner():
         "--batch-size", os.environ.get("HSIMAE_REFSCALE_BS", "2048"),
         "--workdir", WORKDIR,
         "--coarse-from", "14", "--checkpoint-every", "1000",
-    ])
+    ] + (["--remat"] if os.environ.get("HSIMAE_REFSCALE_REMAT") else []))
 
 
 if __name__ == "__main__":

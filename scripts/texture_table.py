@@ -1,0 +1,140 @@
+"""HSIMAE rows of the textured-scene comparison table (VERDICT r03 item 3).
+
+Pipeline per model size (HSIMAE-S, HSIMAE-B):
+  1. MAE-pretrain on an unlabeled texture-family corpus
+     (`make_textured_pretrain_scenes`, GWPCA->32 bands, reference defaults:
+     mask 0.5, lr 5e-3, bs 512, per-iter cosine w/ 5% warmup);
+  2. the full reference protocol on the SHARED textured scene (64x64x103,
+     seed 3407 — the same scene `comparison_table.py --texture` gives the
+     baselines): HSIMAE lr grid x 3 selection seeds -> best-lr x 5 test
+     seeds, 200-epoch dual-branch finetunes (CE + 10*rec on the scene's own
+     unlabeled patches), full-scene eval.
+
+Holds the bench slot for the whole run (the fast-session hunter's yield-mode
+benches skip while it is held). Protocol runs are preemption-safe
+(protocol_runs.jsonl in the per-model workdir).
+
+Merges rows into the baselines' table json (--out, default
+/tmp/comparison_table_texture.json) and copies loss history + checkpoints to
+artifacts/texture/.
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, "/root/repo")
+
+from tpu_session import hold_bench_slot  # noqa: E402
+
+if os.environ.get("HSIMAE_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from hsimae_tpu.checkpoints.io import load_params  # noqa: E402
+from hsimae_tpu.config import (  # noqa: E402
+    FinetuneConfig,
+    PretrainConfig,
+    ProtocolConfig,
+    preset,
+)
+from hsimae_tpu.data.gwpca import apply_gwpca  # noqa: E402
+from hsimae_tpu.data.pipeline import MultiScenePatchSource  # noqa: E402
+from hsimae_tpu.data.synthetic import (  # noqa: E402
+    make_textured_pretrain_scenes,
+    make_textured_scene,
+)
+from hsimae_tpu.data.windows import build_pretrain_cut_index  # noqa: E402
+from hsimae_tpu.train.pretrain import run_pretraining  # noqa: E402
+from hsimae_tpu.train.protocol import run_protocol  # noqa: E402
+from hsimae_tpu.utils.seed import seed_everything  # noqa: E402
+
+OUT = "/tmp/comparison_table_texture.json"
+ART = "/root/repo/artifacts/texture"
+PT_EPOCHS = int(os.environ.get("HSIMAE_TT_PT_EPOCHS", "150"))
+FT_EPOCHS = int(os.environ.get("HSIMAE_TT_FT_EPOCHS", "200"))
+
+
+def pretrain(name: str) -> str:
+    wd = f"/tmp/texture_pt_{name}"
+    final = f"{wd}/params_final.msgpack"
+    if os.path.exists(final):
+        print(f"== {name}: pretrained checkpoint exists, skipping", flush=True)
+        return final
+    seed_everything(42)
+    scenes = [apply_gwpca(s, 32) for s in
+              make_textured_pretrain_scenes(12, (48, 96), bands=103, seed=11)]
+    source = MultiScenePatchSource(scenes, patch_size=9)
+    index = build_pretrain_cut_index([s.shape for s in scenes], 9,
+                                     coarse_from=len(scenes))
+    print(f"== {name}: corpus {len(scenes)} scenes, {len(index)} cuts",
+          flush=True)
+    cfg = preset(name, compute_dtype=jnp.bfloat16)
+    pt = PretrainConfig(epochs=PT_EPOCHS, batch_size=512,
+                        checkpoint_every_steps=500, log_every=200)
+    t0 = time.perf_counter()
+    run_pretraining(source, index.locs, cfg, pt, workdir=wd, resume=True)
+    print(f"== {name}: pretrain {(time.perf_counter() - t0) / 60:.1f} min",
+          flush=True)
+    return final
+
+
+def protocol_row(name: str, ckpt: str) -> dict:
+    scene_raw, gt = make_textured_scene(64, 64, bands=103, seed=3407)
+    cfg = preset(name, compute_dtype=jnp.bfloat16)
+    ft = FinetuneConfig(epochs=FT_EPOCHS)
+    proto = ProtocolConfig()  # reference grid (5e-3..1e-4), 3+5 seeds
+    if os.environ.get("HSIMAE_TT_SMOKE"):  # pipeline smoke: 2 lrs, 1+1 seeds
+        proto = ProtocolConfig(lr_grid=(1e-3, 1e-4),
+                               selection_seeds=1, test_seeds=1)
+    t0 = time.perf_counter()
+    res = run_protocol(
+        scene_raw, gt, cfg, ft, proto,
+        samples_per_class=10, pretrained=load_params(ckpt), gwpca=True,
+        resume_dir=f"/tmp/texture_proto_{name}",
+    )
+    return {
+        "best_lr": res.best_lr,
+        "oa": f"{100 * res.oa_mean:.2f}±{100 * res.oa_std:.2f}",
+        "aa": f"{100 * res.aa_mean:.2f}±{100 * res.aa_std:.2f}",
+        "kappa": f"{100 * res.kappa_mean:.2f}±{100 * res.kappa_std:.2f}",
+        "minutes": round((time.perf_counter() - t0) / 60, 1),
+    }
+
+
+def main():
+    models = sys.argv[1:] or ["HSIMAE-S", "HSIMAE-B"]
+    with hold_bench_slot():
+        done = {}
+        if os.path.exists(OUT):
+            with open(OUT) as f:
+                done = json.load(f)
+        for name in models:
+            ckpt = pretrain(name)
+            if name in done:
+                print(f"== {name}: protocol row exists, skipping", flush=True)
+                continue
+            done[name] = protocol_row(name, ckpt)
+            with open(OUT, "w") as f:
+                json.dump(done, f, indent=2)
+            print(f"== {name}: {done[name]}", flush=True)
+            os.makedirs(ART, exist_ok=True)
+            for src in (ckpt, os.path.dirname(ckpt) + "/train_log.npy"):
+                if os.path.exists(src):
+                    shutil.copy(src, f"{ART}/{name}_{os.path.basename(src)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,16 @@ BASE_CFG = ModelConfig(
     embed_dim=128, depth=12, s_depth=9,
     decoder_dim=64, decoder_depth=8, drop_path=0.0,
 )
+# The published Large tuple [12, 256, 9], decoder [8, 64]
+# (`/root/reference/Model_Pretraining.py:130-131`): the second shipped
+# checkpoint size (`/root/reference/README.md:37`) — parity-pinned so the
+# HSIMAE-L path (pretrain/finetune/eval, RESULTS.md round 4) rests on the
+# same converter+encoder guarantees as Base.
+LARGE_CFG = ModelConfig(
+    img_size=9, patch_size=3, bands=32, b_patch_size=8,
+    embed_dim=256, depth=12, s_depth=9,
+    decoder_dim=64, decoder_depth=8, drop_path=0.0,
+)
 N_CLASS = 5
 
 
@@ -72,7 +82,8 @@ def test_pos_embed_matches_reference():
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("cfg", [CFG, BASE_CFG], ids=["small", "base"])
+@pytest.mark.parametrize("cfg", [CFG, BASE_CFG, LARGE_CFG],
+                         ids=["small", "base", "large"])
 def test_eval_logits_match_reference(cfg):
     tm = _torch_dualvit(cfg)
     sd = {k: v for k, v in tm.state_dict().items()}
@@ -189,7 +200,8 @@ def test_patchify_matches_reference():
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("cfg", [CFG, BASE_CFG], ids=["small", "base"])
+@pytest.mark.parametrize("cfg", [CFG, BASE_CFG, LARGE_CFG],
+                         ids=["small", "base", "large"])
 def test_masked_pretrain_loss_matches_reference_with_shared_mask(cfg):
     """Drive BOTH models with the same kept grid: the torch model's RNG is
     bypassed by calling its encoder/decoder pieces with a crafted mask via
