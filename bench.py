@@ -580,9 +580,13 @@ def hold_slot():
     """Manual-TPU-session mutex: claim the bench slot and sleep until
     killed. Run ``python bench.py --hold &`` before hand-driven TPU work
     (diag scripts, reference-scale pretrains) so yield-mode watcher benches
-    skip instead of colliding with it. A driver round-end bench still takes
-    the slot over (SIGTERM) — by design, since its artifact has priority."""
-    if not _acquire_slot(yield_if_busy=True):
+    skip instead of colliding with it. Manual work PREEMPTS a hunting
+    watcher's bench (SIGTERM -> it emits best-so-far and exits) — watchers
+    always yield; set HSIMAE_BENCH_YIELD=1 to refuse instead. A driver
+    round-end bench still takes the slot over — by design, since its
+    artifact has priority."""
+    yield_mode = os.environ.get("HSIMAE_BENCH_YIELD") == "1"
+    if not _acquire_slot(yield_if_busy=yield_mode):
         print("slot busy; not holding", file=sys.stderr)
         sys.exit(1)
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))

@@ -105,6 +105,29 @@ def hold_bench_slot():
             stderr=subprocess.DEVNULL)
         pid = proc.pid
         os.environ[_HOLD_ENV] = str(pid)
+        # WAIT for confirmed acquisition: --hold may be preempting a hunting
+        # watcher's bench (SIGTERM + wind-down can take ~1-2 min), and
+        # proceeding before the slot is actually ours would run the manual
+        # jax job concurrently with the watcher's child — the exact
+        # two-process collision the slot exists to prevent.
+        slot_dir = os.environ.get("HSIMAE_BENCH_SLOT_DIR", "/tmp")
+        pidfile = os.path.join(slot_dir, "hsimae_bench_parent.pid")
+        deadline = time.time() + 240.0
+        while time.time() < deadline:
+            try:
+                with open(pidfile) as f:
+                    if int(f.read().strip()) == pid:
+                        break
+            except (OSError, ValueError):
+                pass
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    "bench.py --hold exited without acquiring the TPU slot "
+                    f"(rc={proc.returncode}); refusing to run a manual TPU "
+                    "job concurrently with whatever holds it")
+            time.sleep(2.0)
+        else:
+            raise RuntimeError("timed out waiting for the TPU slot hold")
     try:
         yield
     finally:

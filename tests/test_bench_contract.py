@@ -292,6 +292,29 @@ def test_hold_bench_slot_blocks_yield_benches(tmp_path, monkeypatch):
     assert "skip" not in rec
 
 
+def test_hold_preempts_hunting_bench_and_waits_for_acquisition(tmp_path, monkeypatch):
+    """Manual TPU work must PREEMPT a hunting watcher's bench: --hold (via
+    hold_bench_slot) SIGTERMs the bench parent holding the slot, and the
+    context only yields once the hold has actually acquired it — proceeding
+    earlier would run two jax processes concurrently (the r04 bug: the old
+    hold silently failed when the slot was busy)."""
+    proc = _spawn_fake_bench_parent(tmp_path)  # a "watcher" holding the slot
+    monkeypatch.setenv("HSIMAE_BENCH_SLOT_DIR", str(tmp_path))
+    monkeypatch.syspath_prepend("/root/repo/scripts")
+    from tpu_session import hold_bench_slot
+
+    try:
+        with hold_bench_slot():
+            # inside the context the slot MUST be ours, the watcher dead
+            assert proc.poll() is not None, "watcher bench was not preempted"
+            holder = int((tmp_path / "hsimae_bench_parent.pid").read_text())
+            assert holder != proc.pid
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+
+
 def test_tunnel_alive_timeout_means_dead(monkeypatch):
     import subprocess as sp
 
