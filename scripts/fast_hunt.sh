@@ -33,11 +33,14 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     sleep 60; continue   # tunnel down: nothing to draw
   fi
   # First cycle of a session pays cold TPU compiles (/tmp cache wiped between
-  # rounds) — give it a big budget so the cache gets populated; later cycles
-  # are warm (~150 s full + ~40 s probes) and cycle fast for more draws.
-  if [ "$first" = 1 ]; then BUDGET=2400; first=0; else BUDGET=900; fi
-  log "bench cycle (budget ${BUDGET}s)"
+  # rounds) — give it a big budget and a FULL attempt 0 so the compile cache
+  # gets every program; later cycles run probe-only (each attempt a cheap
+  # ~40 s draw that escalates to a full measurement only on a FAST draw).
+  if [ "$first" = 1 ]; then BUDGET=2400; PROBE=""; first=0
+  else BUDGET=900; PROBE=1; fi
+  log "bench cycle (budget ${BUDGET}s probe_only=${PROBE:-0})"
   HSIMAE_BENCH_YIELD=1 HSIMAE_BENCH_BUDGET_S="$BUDGET" \
+    HSIMAE_BENCH_PROBE_ONLY="$PROBE" \
     timeout $(( BUDGET + 240 )) \
     python bench.py > /tmp/bench_hunt.log 2> /tmp/bench_hunt.err
   rc=$?
