@@ -89,6 +89,10 @@ def add_data_args(p: argparse.ArgumentParser, labeled: bool) -> None:
                    help="textured scene family (make_textured_scene): class "
                         "identity lives only in joint spatial-spectral "
                         "structure — per-pixel classifiers are at chance")
+    p.add_argument("--synthetic-cells-per-class", type=int, default=None,
+                   help="textured scene: balanced Voronoi layout with this "
+                        "many cells per class (few cells = large texture "
+                        "regions; the shared benchmark uses 96x96 with 2)")
     p.add_argument("--no-gwpca", dest="gwpca", action="store_false", default=True)
 
 
@@ -109,14 +113,18 @@ def load_labeled_scene(args) -> Tuple[np.ndarray, np.ndarray]:
             make_textured_scene,
         )
 
-        gen = (make_textured_scene
-               if getattr(args, "synthetic_texture", False)
-               else make_synthetic_scene)
+        textured = getattr(args, "synthetic_texture", False)
+        gen = make_textured_scene if textured else make_synthetic_scene
         seed = resolve_synthetic_seed(args)
+        kw = {}
+        if textured:
+            cpc = getattr(args, "synthetic_cells_per_class", None)
+            if cpc is not None:
+                kw["cells_per_class"] = cpc
         return gen(
             args.synthetic_size, args.synthetic_size,
             bands=args.synthetic_bands, n_classes=args.synthetic_classes,
-            seed=seed,
+            seed=seed, **kw,
         )
     if getattr(args, "dataset", None):
         from hsimae_tpu.data.datasets import load_dataset
@@ -134,15 +142,20 @@ def load_pretrain_scenes(args) -> List[np.ndarray]:
             make_textured_pretrain_scenes,
         )
 
-        gen = (make_textured_pretrain_scenes
-               if getattr(args, "synthetic_texture", False)
+        textured = getattr(args, "synthetic_texture", False)
+        gen = (make_textured_pretrain_scenes if textured
                else make_synthetic_pretrain_scenes)
         seed = resolve_synthetic_seed(args)
+        kw = {}
+        if textured:
+            cpc = getattr(args, "synthetic_cells_per_class", None)
+            if cpc is not None:
+                kw["cells_per_class"] = cpc
         return gen(
             n_scenes=args.synthetic_scenes,
             size_range=(args.synthetic_size // 2, args.synthetic_size),
             bands=args.synthetic_bands,
-            seed=seed,
+            seed=seed, **kw,
         )
     if not args.scenes:
         raise SystemExit("need --scenes *.npy, or --synthetic")

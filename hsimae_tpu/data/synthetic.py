@@ -95,6 +95,7 @@ def make_textured_scene(
     background_frac: float = 0.1,
     seed: int = 0,
     speckle_flip: float = 0.08,
+    cells_per_class: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A scene whose class identity lives ONLY in joint spatial-spectral
     structure — the benchmark HSIMAE exists for.
@@ -111,6 +112,17 @@ def make_textured_scene(
     template matching). Texture phase is randomized per Voronoi cell so
     absolute position carries no label information.
 
+    ``cells_per_class``: when set, the layout uses exactly
+    ``n_classes * cells_per_class`` Voronoi cells with owners drawn as a
+    shuffled balanced repeat — every class is guaranteed present, and small
+    cell counts give LARGE texture regions (few 9x9 windows straddle a
+    boundary). The default (None) keeps the original geometry
+    (``4 * n_classes`` cells, iid random owners), whose many small cells
+    leave only ~20 % of test pixels with a single-class window — boundary
+    ambiguity, not texture identity, then dominates the task. The shared
+    texture *benchmark* scene is 96x96 with ``cells_per_class=2``
+    (pure-window fraction ~0.63, all classes >=750 px).
+
     Same conventions as :func:`make_synthetic_scene`: returns
     ``(scene [h, w, bands] float32, gt [h, w] int32)``, gt 0 = background.
     """
@@ -121,9 +133,15 @@ def make_textured_scene(
     sig_b = _smooth_spectrum(rng, bands)
 
     # Voronoi class layout + per-cell texture phase
-    n_seeds = n_classes * 4
-    pts = rng.uniform(0, 1, (n_seeds, 2)) * np.array([h, w])
-    owners = rng.integers(1, n_classes + 1, n_seeds)
+    if cells_per_class is not None:
+        n_seeds = n_classes * cells_per_class
+        pts = rng.uniform(0, 1, (n_seeds, 2)) * np.array([h, w])
+        owners = rng.permutation(
+            np.repeat(np.arange(1, n_classes + 1), cells_per_class))
+    else:
+        n_seeds = n_classes * 4
+        pts = rng.uniform(0, 1, (n_seeds, 2)) * np.array([h, w])
+        owners = rng.integers(1, n_classes + 1, n_seeds)
     phases = rng.integers(0, 6, (n_seeds, 2))
     rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     d2 = (rr[..., None] - pts[:, 0]) ** 2 + (cc[..., None] - pts[:, 1]) ** 2
@@ -167,16 +185,20 @@ def make_textured_pretrain_scenes(
     size_range=(48, 80),
     bands: int = 103,
     seed: int = 0,
+    cells_per_class: int = None,
 ):
     """Unlabeled texture-family corpus for MAE pretraining ahead of
     :func:`make_textured_scene` finetuning (different seeds -> different
-    materials/layouts, same texture family)."""
+    materials/layouts, same texture family; pass the benchmark scene's
+    ``cells_per_class`` so the corpus matches its region-size
+    distribution)."""
     rng = np.random.default_rng(seed)
     scenes = []
     for i in range(n_scenes):
         h = int(rng.integers(*size_range))
         w = int(rng.integers(*size_range))
-        s, _ = make_textured_scene(h, w, bands, seed=seed + 200 + i)
+        s, _ = make_textured_scene(h, w, bands, seed=seed + 200 + i,
+                                   cells_per_class=cells_per_class)
         scenes.append(s)
     return scenes
 

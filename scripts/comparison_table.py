@@ -9,9 +9,10 @@ Compiled steps are shared across the 17 runs of each model.
 Scenes:
   default      — the spectrally-separable scene (make_synthetic_scene,
                  64x64x103, 6 classes, seed 3407; round-2 table)
-  --texture    — the joint spatial-spectral scene (make_textured_scene, same
-                 geometry/seed): per-pixel classifiers are at chance, class
-                 identity lives in 9x9 texture (VERDICT r03 item 3)
+  --texture    — the joint spatial-spectral scene (make_textured_scene,
+                 96x96, cells_per_class=2, seed 3407): per-pixel classifiers
+                 are at chance, class identity lives in 9x9 texture
+                 (VERDICT r03 item 3)
 
 Device: runs on whatever jax finds; set HSIMAE_FORCE_CPU=1 to pin CPU (safe
 alongside TPU work — accuracy numbers are device-independent).
@@ -70,11 +71,13 @@ def main():
         for attempt in range(3):  # the tunnel's remote compile can drop
             try:
                 rep = bench_cli.main([
-                    "--synthetic", "--synthetic-size", "64",
+                    "--synthetic",
+                    "--synthetic-size", "96" if texture else "64",
                     "--synthetic-bands", "103", "--synthetic-classes", "6",
                     "--samples-per-class", "10", "--selection-seeds", "3",
                     "--test-seeds", "5", "--models", name,
-                ] + (["--synthetic-texture"] if texture else []))
+                ] + (["--synthetic-texture",
+                      "--synthetic-cells-per-class", "2"] if texture else []))
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"== {name} attempt {attempt} failed: {e}", flush=True)

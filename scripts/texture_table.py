@@ -4,9 +4,11 @@ Pipeline per model size (HSIMAE-S, HSIMAE-B):
   1. MAE-pretrain on an unlabeled texture-family corpus
      (`make_textured_pretrain_scenes`, GWPCA->32 bands, reference defaults:
      mask 0.5, lr 5e-3, bs 512, per-iter cosine w/ 5% warmup);
-  2. the full reference protocol on the SHARED textured scene (64x64x103,
-     seed 3407 — the same scene `comparison_table.py --texture` gives the
-     baselines): HSIMAE lr grid x 3 selection seeds -> best-lr x 5 test
+  2. the full reference protocol on the SHARED textured scene (96x96x103,
+     cells_per_class=2, seed 3407 — the same scene `comparison_table.py
+     --texture` gives the baselines; balanced large texture regions, ~63 %
+     of test pixels have a single-class 9x9 window):
+     HSIMAE lr grid x 3 selection seeds -> best-lr x 5 test
      seeds, 200-epoch dual-branch finetunes (CE + 10*rec on the scene's own
      unlabeled patches), full-scene eval.
 
@@ -63,7 +65,8 @@ from hsimae_tpu.utils.seed import seed_everything  # noqa: E402
 
 OUT = "/tmp/comparison_table_texture.json"
 ART = "/root/repo/artifacts/texture"
-PT_EPOCHS = int(os.environ.get("HSIMAE_TT_PT_EPOCHS", "150"))
+PT_EPOCHS = int(os.environ.get("HSIMAE_TT_PT_EPOCHS", "600"))
+PT_SCENES = int(os.environ.get("HSIMAE_TT_PT_SCENES", "40"))
 FT_EPOCHS = int(os.environ.get("HSIMAE_TT_FT_EPOCHS", "200"))
 
 
@@ -75,7 +78,8 @@ def pretrain(name: str) -> str:
         return final
     seed_everything(42)
     scenes = [apply_gwpca(s, 32) for s in
-              make_textured_pretrain_scenes(12, (48, 96), bands=103, seed=11)]
+              make_textured_pretrain_scenes(PT_SCENES, (64, 128), bands=103,
+                                            seed=11, cells_per_class=2)]
     source = MultiScenePatchSource(scenes, patch_size=9)
     index = build_pretrain_cut_index([s.shape for s in scenes], 9,
                                      coarse_from=len(scenes))
@@ -92,7 +96,8 @@ def pretrain(name: str) -> str:
 
 
 def protocol_row(name: str, ckpt: str) -> dict:
-    scene_raw, gt = make_textured_scene(64, 64, bands=103, seed=3407)
+    scene_raw, gt = make_textured_scene(96, 96, bands=103, seed=3407,
+                                        cells_per_class=2)
     cfg = preset(name, compute_dtype=jnp.bfloat16)
     ft = FinetuneConfig(epochs=FT_EPOCHS)
     proto = ProtocolConfig()  # reference grid (5e-3..1e-4), 3+5 seeds

@@ -163,6 +163,32 @@ def test_textured_scene_pixelwise_uninformative_but_patchwise_separable():
     assert sig[1][0] > sig[3][0]         # pixel checker has the most energy
 
 
+def test_textured_scene_balanced_cells():
+    """cells_per_class: balanced Voronoi layout — every class present with a
+    guaranteed cell quota, large texture regions (the shared benchmark
+    geometry: 96x96, cells_per_class=2, seed 3407), per-pixel marginal
+    equality preserved."""
+    from hsimae_tpu.data.synthetic import make_textured_scene
+
+    scene, gt = make_textured_scene(96, 96, bands=40, seed=3407,
+                                    cells_per_class=2)
+    counts = np.bincount(gt.ravel(), minlength=7)
+    assert (counts[1:] > 0).all(), counts  # all 6 classes present
+
+    # large regions: most non-bg pixels have a single-class 9x9 window
+    pad = np.pad(gt, 4, mode="symmetric")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(pad, (9, 9))
+    pure = (win == gt[..., None, None]).all(axis=(-1, -2)) & (gt > 0)
+    assert pure.sum() / (gt > 0).sum() > 0.5
+
+    # marginal equality still holds in the balanced variant
+    means = np.stack([scene[gt == k].mean(axis=0) for k in range(1, 7)])
+    contrast = float(scene[gt > 0].max() - scene[gt > 0].min())
+    assert float(np.abs(means[:, None] - means[None]).max()) < 0.06 * contrast
+
+
 def test_sample_per_class_quota_and_testgt():
     _, gt = make_synthetic_scene(48, 48, bands=16, n_classes=5, seed=7)
     rng = np.random.default_rng(0)
