@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="textured scene (make_textured_scene): class = joint "
                         "spatial-spectral structure; pixel classifiers are "
                         "at chance")
+    p.add_argument("--synthetic-cells-per-class", type=int, default=None,
+                   help="textured-scene region granularity (the shared "
+                        "texture benchmark scene uses 2: balanced large "
+                        "regions, see data/synthetic.make_textured_scene)")
     p.add_argument("--samples-per-class", type=int, default=10)
     # the baseline harness's grid (`Compared_Experiment.py:536`), which is
     # one decade lower than the HSIMAE finetuning grid
@@ -59,10 +63,13 @@ def _load(args):
 
         gen = (make_textured_scene if args.synthetic_texture
                else make_synthetic_scene)
+        kw = {}
+        if args.synthetic_texture and args.synthetic_cells_per_class:
+            kw["cells_per_class"] = args.synthetic_cells_per_class
         return gen(args.synthetic_size, args.synthetic_size,
                    bands=args.synthetic_bands,
                    n_classes=args.synthetic_classes,
-                   seed=args.seed)
+                   seed=args.seed, **kw)
     if not args.scene or not args.gt:
         raise SystemExit("need --scene/--gt or --synthetic")
     return np.load(args.scene), np.load(args.gt)

@@ -22,6 +22,7 @@ Results stream one model at a time to the --out path (default
 .json), so an interrupted run keeps its finished rows.
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -62,6 +63,17 @@ def main():
     if os.path.exists(out):
         with open(out) as f:
             done = json.load(f)
+    if os.environ.get("HSIMAE_FORCE_CPU"):
+        slot = contextlib.nullcontext()
+    else:  # on the TPU: hold bench.py's single-slot flock for the whole table
+        from tpu_session import hold_bench_slot
+
+        slot = hold_bench_slot()
+    with slot:
+        _run_models(models, done, out, texture)
+
+
+def _run_models(models, done, out, texture):
     for name in models:
         if name in done:
             print(f"== {name}: already done, skipping", flush=True)
