@@ -52,6 +52,24 @@ def test_benchmark_parser():
     assert a.selection_seeds == 3 and a.test_seeds == 5
 
 
+def test_benchmark_texture_scene_matches_library_path():
+    """--synthetic-texture --synthetic-cells-per-class must generate the
+    SHARED texture benchmark scene (the one scripts/texture_table.py gives
+    the HSIMAE rows), or the comparison table compares across scenes."""
+    import numpy as np
+
+    from hsimae_tpu.cli.benchmark import _load
+    from hsimae_tpu.data.synthetic import make_textured_scene
+
+    a = benchmark_parser().parse_args(
+        ["--synthetic", "--synthetic-size", "96", "--synthetic-bands", "103",
+         "--synthetic-texture", "--synthetic-cells-per-class", "2"])
+    scene, gt = _load(a)
+    ref_scene, ref_gt = make_textured_scene(
+        96, 96, bands=103, seed=3407, cells_per_class=2)
+    assert np.array_equal(scene, ref_scene) and np.array_equal(gt, ref_gt)
+
+
 def test_hsimae_platform_env_overrides_jax_config(monkeypatch):
     """HSIMAE_PLATFORM must win over a sitecustomize that pins jax_platforms
     via jax.config (where the JAX_PLATFORMS env var is silently ignored) —
