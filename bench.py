@@ -576,20 +576,73 @@ def _last_json_line(text: str):
     return None
 
 
+def _is_yield_bench(pid: int) -> bool:
+    """True when the process drew HSIMAE_BENCH_YIELD=1 — a hunting watcher,
+    preemptible by manual work. Default-mode bench parents (no yield env)
+    are the driver's round-end run, which manual work must defer to."""
+    try:
+        with open(f"/proc/{pid}/environ", "rb") as f:
+            return b"HSIMAE_BENCH_YIELD=1" in f.read()
+    except OSError:
+        return False
+
+
+def _is_hold_bench(pid: int) -> bool:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return b"--hold" in f.read()
+    except OSError:
+        return False
+
+
 def hold_slot():
     """Manual-TPU-session mutex: claim the bench slot and sleep until
     killed. Run ``python bench.py --hold &`` before hand-driven TPU work
     (diag scripts, reference-scale pretrains) so yield-mode watcher benches
-    skip instead of colliding with it. Manual work PREEMPTS a hunting
-    watcher's bench (SIGTERM -> it emits best-so-far and exits) — watchers
-    always yield; set HSIMAE_BENCH_YIELD=1 to refuse instead. A driver
-    round-end bench still takes the slot over — by design, since its
-    artifact has priority."""
+    skip instead of colliding with it. Priority order is driver bench >
+    manual hold > hunting watcher: manual work PREEMPTS a watcher's bench
+    (SIGTERM -> it emits best-so-far and exits) but DEFERS to a default-mode
+    bench parent (the driver's round-end run, whose artifact has priority).
+    When a driver bench later takes this hold over, the SIGTERM handler
+    propagates the wind-down to the manual job (our parent) so the freed
+    slot never leaves two jax processes running; all manual-job scripts are
+    checkpoint/jsonl-resumable by design. Normal releases from
+    tpu_session.hold_bench_slot use SIGKILL, which skips the handler."""
     yield_mode = os.environ.get("HSIMAE_BENCH_YIELD") == "1"
+
+    def _takeover(*_):
+        ppid = os.getppid()
+        if ppid > 1:  # orphaned holds have nothing to wind down
+            try:
+                os.kill(ppid, signal.SIGTERM)
+            except OSError:
+                pass
+        sys.exit(0)
+
+    # registered BEFORE acquisition: a takeover SIGTERM in the acquire
+    # window must already propagate, or the manual job keeps running after
+    # the flock is freed
+    signal.signal(signal.SIGTERM, _takeover)
+    # > the driver bench's own wall-clock budget (env override for tests)
+    deadline = time.monotonic() + float(
+        os.environ.get("HSIMAE_HOLD_DEFER_S", "4200"))
+    while True:
+        owner = _read_pid(PARENT_PID_PATH)
+        if (owner and owner != os.getpid() and _alive(owner)
+                and _is_bench_pid(owner) and not _is_hold_bench(owner)
+                and not _is_yield_bench(owner)):
+            if yield_mode or time.monotonic() > deadline:
+                print("slot busy (driver bench); not holding",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# deferring to driver bench parent pid {owner}",
+                  file=sys.stderr)
+            time.sleep(15.0)
+            continue
+        break
     if not _acquire_slot(yield_if_busy=yield_mode):
         print("slot busy; not holding", file=sys.stderr)
         sys.exit(1)
-    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
     print(f"# holding TPU slot (pid {os.getpid()}); kill to release",
           file=sys.stderr)
     try:

@@ -110,9 +110,14 @@ def hold_bench_slot():
         # proceeding before the slot is actually ours would run the manual
         # jax job concurrently with the watcher's child — the exact
         # two-process collision the slot exists to prevent.
+        # The deadline covers the holder DEFERRING to a driver round-end
+        # bench (priority: driver bench > manual hold > hunting watcher),
+        # which can own the slot for its whole wall-clock budget.
         slot_dir = os.environ.get("HSIMAE_BENCH_SLOT_DIR", "/tmp")
         pidfile = os.path.join(slot_dir, "hsimae_bench_parent.pid")
-        deadline = time.time() + 240.0
+        deadline = time.time() + 4500.0
+        t0 = time.time()
+        last_note = 0.0
         while time.time() < deadline:
             try:
                 with open(pidfile) as f:
@@ -125,6 +130,10 @@ def hold_bench_slot():
                     "bench.py --hold exited without acquiring the TPU slot "
                     f"(rc={proc.returncode}); refusing to run a manual TPU "
                     "job concurrently with whatever holds it")
+            if time.time() - last_note > 120.0:
+                last_note = time.time()
+                print(f"# waiting for the TPU slot hold "
+                      f"({time.time() - t0:.0f}s)", flush=True)
             time.sleep(2.0)
         else:
             raise RuntimeError("timed out waiting for the TPU slot hold")
@@ -134,7 +143,11 @@ def hold_bench_slot():
         os.environ.pop(_HOLD_ENV, None)
         if _is_hold_pid(pid):
             try:
-                os.kill(pid, signal.SIGTERM)
+                # SIGKILL, not SIGTERM: the holder's SIGTERM handler
+                # propagates a driver-takeover wind-down to its parent —
+                # which on THIS normal-exit path is the very job that is
+                # releasing the hold. The flock dies with the process.
+                os.kill(pid, signal.SIGKILL)
             except OSError:
                 pass
         if proc is not None:

@@ -9,6 +9,7 @@ best-so-far parsing, truncated-output parsing, and the MFU record shape.
 import importlib.util
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -124,9 +125,12 @@ def test_final_record_prefers_banked_fast_number(tmp_path, monkeypatch):
     assert "stale" not in bench._final_record(fresh2)
 
 
-def _spawn_fake_bench_parent(tmp_path):
+def _spawn_fake_bench_parent(tmp_path, yield_mode=True):
     """A live process whose cmdline mentions bench.py (the recycled-pid
-    guard keys on that), HOLDING the slot flock like a hunting watcher."""
+    guard keys on that), HOLDING the slot flock. With ``yield_mode`` its
+    environ carries HSIMAE_BENCH_YIELD=1 — a hunting watcher, preemptible
+    by manual holds; without, it reads as the DRIVER's round-end bench,
+    which manual holds must defer to."""
     fake = tmp_path / "bench.py"
     fake.write_text(
         "import fcntl, sys, time\n"
@@ -134,9 +138,13 @@ def _spawn_fake_bench_parent(tmp_path):
         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
         "print('locked', flush=True)\n"
         "time.sleep(300)\n")
+    env = dict(os.environ)
+    env.pop("HSIMAE_BENCH_YIELD", None)
+    if yield_mode:
+        env["HSIMAE_BENCH_YIELD"] = "1"
     proc = subprocess.Popen(
         [sys.executable, str(fake), str(tmp_path / "hsimae_bench_slot.lock")],
-        stdout=subprocess.PIPE, text=True)
+        stdout=subprocess.PIPE, text=True, env=env)
     assert proc.stdout.readline().strip() == "locked"
     (tmp_path / "hsimae_bench_parent.pid").write_text(str(proc.pid))
     return proc
@@ -313,6 +321,66 @@ def test_hold_preempts_hunting_bench_and_waits_for_acquisition(tmp_path, monkeyp
         if proc.poll() is None:
             proc.kill()
         proc.wait()
+
+
+def test_hold_defers_to_driver_bench(tmp_path):
+    """Priority order driver bench > manual hold: a --hold must NOT preempt
+    a default-mode bench parent (the driver's round-end run) — it defers,
+    and past its deferral deadline exits nonzero without touching it."""
+    proc = _spawn_fake_bench_parent(tmp_path, yield_mode=False)  # "driver"
+    try:
+        env = dict(os.environ, HSIMAE_BENCH_SLOT_DIR=str(tmp_path),
+                   HSIMAE_HOLD_DEFER_S="3")
+        out = subprocess.run(
+            [sys.executable, "/root/repo/bench.py", "--hold"],
+            env=env, capture_output=True, text=True, timeout=60)
+        assert out.returncode == 1
+        assert "driver bench" in out.stderr
+        assert "deferring" in out.stderr
+        assert proc.poll() is None, "the driver bench was signalled"
+        # the driver parent still owns the slot pidfile
+        assert int((tmp_path / "hsimae_bench_parent.pid").read_text()) \
+            == proc.pid
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_takenover_hold_winds_down_its_manual_job(tmp_path):
+    """When a driver bench takes the slot over (SIGTERMs the holder), the
+    holder must propagate the wind-down to the manual jax job that spawned
+    it — otherwise the freed slot runs the driver's bench child concurrently
+    with the still-alive manual job (the two-process collision the slot
+    protocol exists to prevent)."""
+    job = tmp_path / "manual_job.py"
+    job.write_text(
+        "import os, subprocess, sys, time\n"
+        "p = subprocess.Popen([sys.executable, '/root/repo/bench.py',"
+        " '--hold'], stderr=subprocess.DEVNULL)\n"
+        "pidfile = os.environ['HSIMAE_BENCH_SLOT_DIR'] +"
+        " '/hsimae_bench_parent.pid'\n"
+        "for _ in range(150):\n"
+        "    try:\n"
+        "        if int(open(pidfile).read()) == p.pid:\n"
+        "            break\n"
+        "    except (OSError, ValueError):\n"
+        "        pass\n"
+        "    time.sleep(0.2)\n"
+        "print(p.pid, flush=True)\n"
+        "time.sleep(300)\n")
+    env = dict(os.environ, HSIMAE_BENCH_SLOT_DIR=str(tmp_path))
+    env.pop("HSIMAE_BENCH_YIELD", None)
+    proc = subprocess.Popen([sys.executable, str(job)], env=env,
+                            stdout=subprocess.PIPE, text=True)
+    try:
+        holder = int(proc.stdout.readline().strip())
+        os.kill(holder, signal.SIGTERM)  # the driver's takeover signal
+        assert proc.wait(timeout=30) != 0, \
+            "manual job survived the slot takeover"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
 
 
 def test_tunnel_alive_timeout_means_dead(monkeypatch):
