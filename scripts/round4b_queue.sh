@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-4 second-half serial TPU queue (replaces texture_round.sh steps 3-4;
+# one jax process at a time, every step holds the bench slot internally):
+#   0. wait for the in-flight baseline comparison table to finish
+#   1. HSIMAE-L reference-scale pretrain (4M patches, remat) + transfer
+#      experiment — VERDICT r03 item 4's missing evidence. OOM fallback to
+#      batch 1024 (an axon process is dead after its first RESOURCE_EXHAUSTED).
+#   2. HSIMAE-S texture row with a 5x larger pretrain corpus (200 scenes,
+#      ~180k cuts, 150 epochs ~ same patch-updates as v1's 600ep x 39k) —
+#      the corpus-scaling lever that moved the probe 45->75 OA, pushed further.
+#   3. HSIMAE-B texture row on the same corpus (the flagship row).
+# Every step resumes (per-epoch/periodic checkpoints + protocol_runs.jsonl),
+# so a driver kill mid-step loses nothing.
+set -u
+cd /root/repo
+
+WAIT_PID="${1:-}"
+if [[ -n "$WAIT_PID" ]]; then
+  echo "== [$(date +%T)] waiting for pid $WAIT_PID (baseline table)"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
+fi
+
+echo "== [$(date +%T)] step 1: HSIMAE-L refscale pretrain + transfer"
+HSIMAE_REFSCALE_MODEL=HSIMAE-L HSIMAE_REFSCALE_REMAT=1 \
+    timeout 10800 python scripts/pretrain_reference_scale.py train
+if [[ ! -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
+  echo "== L pretrain did not finish at bs 2048; retrying at bs 1024"
+  HSIMAE_REFSCALE_MODEL=HSIMAE-L HSIMAE_REFSCALE_REMAT=1 \
+      HSIMAE_REFSCALE_BS=1024 \
+      timeout 10800 python scripts/pretrain_reference_scale.py train
+fi
+if [[ -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
+  timeout 7200 python scripts/l_transfer.py
+  mkdir -p artifacts/refscale
+  cp /tmp/l_transfer.json artifacts/refscale/l_transfer.json 2>/dev/null
+  cp /tmp/refscale/pt_l/train_log.npy artifacts/refscale/l_train_log.npy 2>/dev/null
+fi
+
+echo "== [$(date +%T)] step 2: HSIMAE-S texture row, 200-scene corpus"
+HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+    HSIMAE_TT_SIZE_MAX=160 \
+    timeout 14400 python scripts/texture_table.py HSIMAE-S
+
+echo "== [$(date +%T)] step 3: HSIMAE-B texture row, 200-scene corpus"
+HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+    HSIMAE_TT_SIZE_MAX=160 \
+    timeout 21600 python scripts/texture_table.py HSIMAE-B
+
+echo "== [$(date +%T)] round4b queue done"

@@ -68,17 +68,24 @@ ART = "/root/repo/artifacts/texture"
 PT_EPOCHS = int(os.environ.get("HSIMAE_TT_PT_EPOCHS", "600"))
 PT_SCENES = int(os.environ.get("HSIMAE_TT_PT_SCENES", "40"))
 FT_EPOCHS = int(os.environ.get("HSIMAE_TT_FT_EPOCHS", "200"))
+SPC = int(os.environ.get("HSIMAE_TT_SPC", "10"))
+# corpus-scaling knobs (VERDICT r04 push): TAG isolates the pretrain workdir,
+# protocol resume dir, and table row key so corpus ablations coexist with the
+# 40-scene/600-epoch v1 rows instead of overwriting them
+TAG = os.environ.get("HSIMAE_TT_TAG", "")
+SIZE_RANGE = (int(os.environ.get("HSIMAE_TT_SIZE_MIN", "64")),
+              int(os.environ.get("HSIMAE_TT_SIZE_MAX", "128")))
 
 
 def pretrain(name: str) -> str:
-    wd = f"/tmp/texture_pt_{name}"
+    wd = f"/tmp/texture_pt_{name}" + (f"_{TAG}" if TAG else "")
     final = f"{wd}/params_final.msgpack"
     if os.path.exists(final):
         print(f"== {name}: pretrained checkpoint exists, skipping", flush=True)
         return final
     seed_everything(42)
     scenes = [apply_gwpca(s, 32) for s in
-              make_textured_pretrain_scenes(PT_SCENES, (64, 128), bands=103,
+              make_textured_pretrain_scenes(PT_SCENES, SIZE_RANGE, bands=103,
                                             seed=11, cells_per_class=2)]
     source = MultiScenePatchSource(scenes, patch_size=9)
     index = build_pretrain_cut_index([s.shape for s in scenes], 9,
@@ -107,14 +114,16 @@ def protocol_row(name: str, ckpt: str) -> dict:
     t0 = time.perf_counter()
     res = run_protocol(
         scene_raw, gt, cfg, ft, proto,
-        samples_per_class=10, pretrained=load_params(ckpt), gwpca=True,
-        resume_dir=f"/tmp/texture_proto_{name}",
+        samples_per_class=SPC, pretrained=load_params(ckpt), gwpca=True,
+        resume_dir=f"/tmp/texture_proto_{name}"
+                   + (f"_{TAG}" if TAG else "") + (f"_spc{SPC}" if SPC != 10 else ""),
     )
     return {
         "best_lr": res.best_lr,
         "oa": f"{100 * res.oa_mean:.2f}±{100 * res.oa_std:.2f}",
         "aa": f"{100 * res.aa_mean:.2f}±{100 * res.aa_std:.2f}",
         "kappa": f"{100 * res.kappa_mean:.2f}±{100 * res.kappa_std:.2f}",
+        "pretrain": f"{PT_SCENES}sc x {PT_EPOCHS}ep",
         "minutes": round((time.perf_counter() - t0) / 60, 1),
     }
 
@@ -128,17 +137,19 @@ def main():
                 done = json.load(f)
         for name in models:
             ckpt = pretrain(name)
-            if name in done:
-                print(f"== {name}: protocol row exists, skipping", flush=True)
+            key = name + (f"@{TAG}" if TAG else "") \
+                + (f"@{SPC}spc" if SPC != 10 else "")
+            if key in done:
+                print(f"== {key}: protocol row exists, skipping", flush=True)
                 continue
-            done[name] = protocol_row(name, ckpt)
+            done[key] = protocol_row(name, ckpt)
             with open(OUT, "w") as f:
                 json.dump(done, f, indent=2)
-            print(f"== {name}: {done[name]}", flush=True)
+            print(f"== {key}: {done[key]}", flush=True)
             os.makedirs(ART, exist_ok=True)
             for src in (ckpt, os.path.dirname(ckpt) + "/train_log.npy"):
                 if os.path.exists(src):
-                    shutil.copy(src, f"{ART}/{name}_{os.path.basename(src)}")
+                    shutil.copy(src, f"{ART}/{key}_{os.path.basename(src)}")
 
 
 if __name__ == "__main__":
