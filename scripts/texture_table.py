@@ -150,6 +150,10 @@ def main():
             for src in (ckpt, os.path.dirname(ckpt) + "/train_log.npy"):
                 if os.path.exists(src):
                     shutil.copy(src, f"{ART}/{key}_{os.path.basename(src)}")
+        donefile = os.environ.get("HSIMAE_TT_DONEFILE")
+        if donefile:  # queue retry sentinel: all requested rows landed
+            with open(donefile, "w") as f:
+                json.dump({k: done.get(k) for k in done}, f)
 
 
 if __name__ == "__main__":
