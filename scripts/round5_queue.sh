@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-5 serial TPU queue. Launch ONCE at round start, AFTER
+# scripts/restore_tmp_state.sh has put artifacts/round_carry back into /tmp:
+#
+#   bash scripts/restore_tmp_state.sh
+#   nohup bash scripts/round5_queue.sh > /tmp/round5_queue.log 2>&1 &
+#   echo $! > /tmp/round5_queue.pid
+#
+# Priority order (what is still open after round 4):
+#   1. HSIMAE-B texture row @v2 — the flagship's comparison-table entry.
+#      Round-4 evidence: the S model saturated on corpus scaling (v2
+#      selection 0.8104 vs v1 0.7985), so MODEL scale is the remaining
+#      lever vs DBDA's 87.13 OA. Resumes the carried pretrain checkpoint.
+#   2. HSIMAE-L reference-scale pretrain (4M patches, remat for activation
+#      headroom) + transfer vs scratch — VERDICT r03 item 4.
+#   3. (reached only if time remains) HSIMAE-S @v2 600-epoch continuation.
+# Every step retries until its artifact exists and every step resumes from
+# periodic checkpoints, so driver-bench takeovers / tunnel outages only cost
+# the un-checkpointed tail. Keep scripts/fast_hunt.sh and a 20-min
+# snapshot_tmp_state.sh + commit heartbeat running alongside.
+set -u
+cd /root/repo
+
+retry() {  # retry <attempts> <artifact> <cmd...>: run cmd until artifact exists
+  local tries=$1 art=$2; shift 2
+  for ((i = 0; i < tries; i++)); do
+    [[ -e "$art" ]] && return 0
+    "$@"
+    [[ -e "$art" ]] && return 0
+    echo "== artifact $art missing after attempt $i; sleeping 120s"
+    sleep 120
+  done
+  [[ -e "$art" ]]
+}
+
+echo "== [$(date +%T)] step 1: HSIMAE-B texture row, 200-scene corpus (v2)"
+retry 4 /tmp/texture_row_b_v2.done \
+  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2.done \
+      timeout 21600 python scripts/texture_table.py HSIMAE-B
+bash scripts/snapshot_tmp_state.sh
+
+echo "== [$(date +%T)] step 2: HSIMAE-L refscale pretrain + transfer"
+retry 2 /tmp/refscale/pt_l/params_final.msgpack \
+  env HSIMAE_REFSCALE_MODEL=HSIMAE-L HSIMAE_REFSCALE_REMAT=1 \
+      timeout 10800 python scripts/pretrain_reference_scale.py train
+if [[ ! -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
+  echo "== L pretrain did not finish at bs 2048; retrying at bs 1024"
+  retry 2 /tmp/refscale/pt_l/params_final.msgpack \
+    env HSIMAE_REFSCALE_MODEL=HSIMAE-L HSIMAE_REFSCALE_REMAT=1 \
+        HSIMAE_REFSCALE_BS=1024 \
+        timeout 10800 python scripts/pretrain_reference_scale.py train
+fi
+if [[ -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
+  retry 2 /tmp/l_transfer.json timeout 7200 python scripts/l_transfer.py
+  mkdir -p artifacts/refscale
+  cp /tmp/l_transfer.json artifacts/refscale/l_transfer.json 2>/dev/null
+  cp /tmp/refscale/pt_l/train_log.npy artifacts/refscale/l_train_log.npy 2>/dev/null
+fi
+bash scripts/snapshot_tmp_state.sh
+
+echo "== [$(date +%T)] step 3 (stretch): HSIMAE-S @v2, 600-epoch continuation"
+# Seed the continuation workdir from the carried v2 periodic checkpoint
+# (params + opt state at ~epoch 150) so the 600-epoch run RESUMES rather
+# than restarting; run_pretraining picks up the newest ckpt_*.msgpack.
+if [[ ! -d /tmp/texture_pt_HSIMAE-S_v2x600 ]]; then
+  mkdir -p /tmp/texture_pt_HSIMAE-S_v2x600
+  cp -p /tmp/texture_pt_HSIMAE-S_v2/ckpt_*.msgpack* \
+        /tmp/texture_pt_HSIMAE-S_v2x600/ 2>/dev/null || true
+fi
+retry 2 /tmp/texture_row_s_v2_600.done \
+  env HSIMAE_TT_TAG=v2x600 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=600 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_s_v2_600.done \
+      timeout 28800 python scripts/texture_table.py HSIMAE-S
+
+echo "== [$(date +%T)] round5 queue done"

@@ -25,14 +25,15 @@ snap_workdir() {  # snap_workdir <tmp workdir>: params_final OR newest ckpt
   mkdir -p "$dst"
   if [[ -f "$wd/params_final.msgpack" ]]; then
     cp -p "$wd/params_final.msgpack" "$dst/"
-  else
-    # unfinished pretrain: newest periodic checkpoint + its metadata json
-    local newest
-    newest=$(ls -t "$wd"/ckpt_*.msgpack 2>/dev/null | head -1)
-    if [[ -n "${newest:-}" ]]; then
-      cp -p "$newest" "$dst/"
-      [[ -f "$newest.json" ]] && cp -p "$newest.json" "$dst/"
-    fi
+  fi
+  # newest periodic checkpoint (params + opt state + step metadata): the
+  # resume point for an unfinished pretrain, and the seed for extending a
+  # finished one to more epochs (round-5 step 3)
+  local newest
+  newest=$(ls -t "$wd"/ckpt_*.msgpack 2>/dev/null | head -1)
+  if [[ -n "${newest:-}" ]]; then
+    cp -p "$newest" "$dst/"
+    [[ -f "$newest.json" ]] && cp -p "$newest.json" "$dst/"
   fi
   for f in train_log.npy train.jsonl protocol_runs.jsonl; do
     [[ -f "$wd/$f" ]] && cp -p "$wd/$f" "$dst/"
