@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--drop-path", type=float, default=0.2)
+    p.add_argument("--encoder-lr-scale", type=float, default=1.0,
+                   help="lr multiplier for non-head params; 1.0 = reference "
+                        "recipe, 0.0 = frozen encoder (linear-probe head)")
     p.add_argument("--seed", type=int, default=3407)
     p.add_argument("--eval", action="store_true", help="full-scene test after training")
     p.add_argument("--eval-every", type=int, default=1)
@@ -71,6 +74,7 @@ def main(argv=None):
         mask_ratio=args.mask_ratio, lamda=args.lamda, lr=args.lr,
         weight_decay=args.wd, batch_size=args.batch_size, epochs=args.epochs,
         drop_path=args.drop_path, seed=args.seed,
+        encoder_lr_scale=args.encoder_lr_scale,
     )
     pretrained = load_any_checkpoint(args.pretrained)
 

@@ -185,6 +185,10 @@ class FinetuneConfig:
     train_ratio: float = 0.5  # labeled train/val split (`:111`)
     val_batch_size: int = 512
     seed: int = 3407
+    # lr multiplier for all non-cls_head params. 1.0 = the reference's
+    # uniform-lr AdamW (exact parity); 0.0 = frozen encoder (linear-probe
+    # head training). See train/optim.py::finetune_optimizer for why.
+    encoder_lr_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

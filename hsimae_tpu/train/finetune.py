@@ -187,7 +187,8 @@ def dual_branch_finetune(
         max(1, int(np.ceil(n_un / steps_per_epoch) / 2)), dsize)
 
     tx, sched = finetune_optimizer(
-        cfg.lr, cfg.weight_decay, cfg.epochs, steps_per_epoch, cfg.warmup_frac
+        cfg.lr, cfg.weight_decay, cfg.epochs, steps_per_epoch, cfg.warmup_frac,
+        encoder_lr_scale=cfg.encoder_lr_scale,
     )
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     if mesh is not None:

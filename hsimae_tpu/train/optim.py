@@ -144,6 +144,7 @@ def finetune_optimizer(
     epochs: int,
     steps_per_epoch: int,
     warmup_frac: float = 0.1,
+    encoder_lr_scale: float = 1.0,
 ):
     """Per-EPOCH cosine with 10% warmup and floor/init at lr*0.01
     (`Model_Finetuning.py:105-107`). The schedule is indexed by the global
@@ -153,6 +154,16 @@ def finetune_optimizer(
     (`Model_Finetuning.py:234`), so epoch e trains at cosine(e-1) and epoch 0
     at the constructor-initialized warmup_lr_init == cosine(0); the epoch
     index is shifted accordingly.
+
+    ``encoder_lr_scale`` multiplies the learning rate of every parameter
+    OUTSIDE the classification head (``cls_head``): 1.0 reproduces the
+    reference's uniform-lr AdamW exactly (`Model_Finetuning.py:99-104` has
+    no per-layer lr); 0.0 freezes the pretrained encoder (linear-probe-style
+    head training); small values (0.01-0.1) are MAE-finetuning practice.
+    This knob exists because measurement showed the uniform-lr recipe
+    DAMAGES the pretrained representation at tiny label budgets: on the
+    textured benchmark a frozen-encoder linear probe reaches 89.7 OA where
+    the reference recipe lands at 77.9 (scripts/diag_class6_probe.py).
     """
     epoch_sched = timm_cosine_schedule(
         lr,
@@ -166,4 +177,23 @@ def finetune_optimizer(
         e = jnp.asarray(step) // max(steps_per_epoch, 1)
         return epoch_sched(jnp.maximum(e - 1, 0))
 
-    return adamw(sched, weight_decay, b1=0.9, b2=0.999), sched
+    if encoder_lr_scale == 1.0:
+        return adamw(sched, weight_decay, b1=0.9, b2=0.999), sched
+
+    def enc_sched(step):
+        return sched(step) * encoder_lr_scale
+
+    def partition(params):
+        def label(path, _):
+            first = path[0]
+            name = first.key if hasattr(first, "key") else str(first)
+            return "head" if str(name) == "cls_head" else "encoder"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    tx = optax.multi_transform(
+        {"head": adamw(sched, weight_decay, b1=0.9, b2=0.999),
+         "encoder": adamw(enc_sched, weight_decay, b1=0.9, b2=0.999)},
+        partition,
+    )
+    return tx, sched

@@ -218,6 +218,36 @@ def test_dual_step_shapes_and_finite():
     assert np.isfinite(float(loss)) and np.isfinite(float(loss_rec))
 
 
+def test_encoder_lr_scale_partitions_updates():
+    """encoder_lr_scale=0.0 must freeze every non-cls_head parameter while
+    the head still trains (train/optim.py::finetune_optimizer); 1.0 keeps
+    the reference's uniform-lr recipe (covered by the other finetune tests)."""
+    cfg = TINY.replace(num_classes=4)
+    model = build_dual_vit(cfg, 4)
+    params = init_model(model, seed=0)["params"]
+    tx, _ = finetune_optimizer(1e-2, 1e-3, epochs=2, steps_per_epoch=2,
+                               encoder_lr_scale=0.0)
+    params0 = jax.tree_util.tree_map(np.asarray, params)  # donated below
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_dual_step(model, lamda=10.0)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (8, 9, 9, 32))
+    y = jnp.asarray([1, 2, 3, 1, 2, 3, 1, 2])
+    w = jnp.ones(8, jnp.float32)
+    for i in range(3):
+        state, *_ = step(state, x, y, w, x, w,
+                         jax.random.PRNGKey(i), 2, 4)
+
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    head_changed, enc_changed = [], []
+    for (path0, a), (_, b) in zip(flat0, flat1):
+        name = str(path0[0].key if hasattr(path0[0], "key") else path0[0])
+        changed = not np.allclose(np.asarray(a), np.asarray(b))
+        (head_changed if name == "cls_head" else enc_changed).append(changed)
+    assert any(head_changed), "cls_head did not train"
+    assert not any(enc_changed), "a frozen encoder parameter changed"
+
+
 def test_padded_rows_do_not_change_loss():
     """CE and rec-loss weighting must make padding a no-op."""
     cfg = TINY.replace(num_classes=4)
