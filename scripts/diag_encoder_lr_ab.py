@@ -20,7 +20,11 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_diag_comp_cache")
+# concurrent diag instances MUST NOT share a persistent compile cache
+# (corruption aborts readers — see verify SKILL.md); override per instance
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HSIMAE_DIAG_COMP_CACHE",
+                                 "/tmp/jax_diag_comp_cache"))
 
 import numpy as np  # noqa: E402
 
@@ -37,13 +41,15 @@ NAMES = ["checker-p1", "checker-p2", "h-stripes-p2", "v-stripes-p2",
 LR = float(os.environ.get("HSIMAE_AB_LR", "5e-4"))
 SEED = int(os.environ.get("HSIMAE_AB_SEED", "3407"))
 EPOCHS = int(os.environ.get("HSIMAE_AB_EPOCHS", "200"))
+DROP_PATH = float(os.environ.get("HSIMAE_AB_DROPPATH", "0.2"))
 
 
 def run(scale: float) -> None:
     scene_raw, gt = make_textured_scene(96, 96, bands=103, seed=3407,
                                         cells_per_class=2)
     cfg = preset("HSIMAE-S")
-    ft = FinetuneConfig(epochs=EPOCHS, lr=LR, encoder_lr_scale=scale)
+    ft = FinetuneConfig(epochs=EPOCHS, lr=LR, encoder_lr_scale=scale,
+                        drop_path=DROP_PATH)
     rng = np.random.default_rng(SEED)
     split = dual_scene_split(scene_raw, gt, patch_size=cfg.img_size, num=10,
                              gwpca=True, nc=cfg.bands, rng=rng)

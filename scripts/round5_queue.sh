@@ -33,11 +33,32 @@ retry() {  # retry <attempts> <artifact> <cmd...>: run cmd until artifact exists
   [[ -e "$art" ]]
 }
 
+echo "== [$(date +%T)] step 0: HSIMAE-S @v2 improved-recipe protocol row"
+# Frozen-encoder head training (round-4 diagnostic: the reference's
+# uniform-lr finetune damages the pretrained representation; scale 0.0 is
+# +7 OA at the probed (lr, seed) — scripts/diag_encoder_lr_ab.py). Reuses
+# the restored v2 pretrain checkpoint, so this is protocol-only (~50 min)
+# and the cheapest shot at putting HSIMAE above DBDA's 87.13 OA.
+retry 3 /tmp/texture_row_s_v2_enc0.done \
+  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_ENC_SCALE=0.0 HSIMAE_TT_DROPPATH=0.0 \
+      HSIMAE_TT_DONEFILE=/tmp/texture_row_s_v2_enc0.done \
+      timeout 7200 python scripts/texture_table.py HSIMAE-S
+bash scripts/snapshot_tmp_state.sh
+
 echo "== [$(date +%T)] step 1: HSIMAE-B texture row, 200-scene corpus (v2)"
 retry 4 /tmp/texture_row_b_v2.done \
   env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
       HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2.done \
       timeout 21600 python scripts/texture_table.py HSIMAE-B
+bash scripts/snapshot_tmp_state.sh
+
+echo "== [$(date +%T)] step 1b: HSIMAE-B @v2 improved-recipe protocol row"
+retry 3 /tmp/texture_row_b_v2_enc0.done \
+  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_ENC_SCALE=0.0 HSIMAE_TT_DROPPATH=0.0 \
+      HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2_enc0.done \
+      timeout 10800 python scripts/texture_table.py HSIMAE-B
 bash scripts/snapshot_tmp_state.sh
 
 echo "== [$(date +%T)] step 2: HSIMAE-L refscale pretrain + transfer"

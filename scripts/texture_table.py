@@ -75,6 +75,14 @@ SPC = int(os.environ.get("HSIMAE_TT_SPC", "10"))
 TAG = os.environ.get("HSIMAE_TT_TAG", "")
 SIZE_RANGE = (int(os.environ.get("HSIMAE_TT_SIZE_MIN", "64")),
               int(os.environ.get("HSIMAE_TT_SIZE_MAX", "128")))
+# finetune-recipe knobs (round-4 finding: the reference's uniform-lr recipe
+# damages the pretrained representation at 10 labels/class — frozen-encoder
+# head training is +7 OA at the probed (lr, seed); see
+# scripts/diag_encoder_lr_ab.py and train/optim.py::finetune_optimizer).
+# ENC_SCALE != 1 gets its own row key suffix so reference-recipe rows and
+# improved-recipe rows coexist in the table.
+ENC_SCALE = float(os.environ.get("HSIMAE_TT_ENC_SCALE", "1.0"))
+FT_DROP_PATH = float(os.environ.get("HSIMAE_TT_DROPPATH", "0.2"))
 
 
 def pretrain(name: str) -> str:
@@ -106,7 +114,8 @@ def protocol_row(name: str, ckpt: str) -> dict:
     scene_raw, gt = make_textured_scene(96, 96, bands=103, seed=3407,
                                         cells_per_class=2)
     cfg = preset(name, compute_dtype=jnp.bfloat16)
-    ft = FinetuneConfig(epochs=FT_EPOCHS)
+    ft = FinetuneConfig(epochs=FT_EPOCHS, encoder_lr_scale=ENC_SCALE,
+                        drop_path=FT_DROP_PATH)
     proto = ProtocolConfig()  # reference grid (5e-3..1e-4), 3+5 seeds
     if os.environ.get("HSIMAE_TT_SMOKE"):  # pipeline smoke: 2 lrs, 1+1 seeds
         proto = ProtocolConfig(lr_grid=(1e-3, 1e-4),
@@ -116,7 +125,8 @@ def protocol_row(name: str, ckpt: str) -> dict:
         scene_raw, gt, cfg, ft, proto,
         samples_per_class=SPC, pretrained=load_params(ckpt), gwpca=True,
         resume_dir=f"/tmp/texture_proto_{name}"
-                   + (f"_{TAG}" if TAG else "") + (f"_spc{SPC}" if SPC != 10 else ""),
+                   + (f"_{TAG}" if TAG else "") + (f"_spc{SPC}" if SPC != 10 else "")
+                   + (f"_enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else ""),
     )
     return {
         "best_lr": res.best_lr,
@@ -125,6 +135,8 @@ def protocol_row(name: str, ckpt: str) -> dict:
         "kappa": f"{100 * res.kappa_mean:.2f}±{100 * res.kappa_std:.2f}",
         "pretrain": f"{PT_SCENES}sc x {PT_EPOCHS}ep",
         "minutes": round((time.perf_counter() - t0) / 60, 1),
+        **({"recipe": f"enc_lr_scale={ENC_SCALE:g} drop_path={FT_DROP_PATH:g}"}
+           if ENC_SCALE != 1.0 else {}),
     }
 
 
@@ -138,7 +150,8 @@ def main():
         for name in models:
             ckpt = pretrain(name)
             key = name + (f"@{TAG}" if TAG else "") \
-                + (f"@{SPC}spc" if SPC != 10 else "")
+                + (f"@{SPC}spc" if SPC != 10 else "") \
+                + (f"@enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else "")
             if key in done:
                 print(f"== {key}: protocol row exists, skipping", flush=True)
                 continue
