@@ -29,9 +29,15 @@ snap_workdir() {  # snap_workdir <tmp workdir>: params_final OR newest ckpt
   # newest periodic checkpoint (params + opt state + step metadata): the
   # resume point for an unfinished pretrain, and the seed for extending a
   # finished one to more epochs (round-5 step 3)
-  local newest
+  local newest base f
   newest=$(ls -t "$wd"/ckpt_*.msgpack 2>/dev/null | head -1)
   if [[ -n "${newest:-}" ]]; then
+    base=$(basename "$newest")
+    # prune superseded periodic ckpts from the carry dir (keep the
+    # working tree at one ckpt per workdir; ~40 MB each at B scale)
+    for f in "$dst"/ckpt_*.msgpack; do
+      [[ -e "$f" && "$(basename "$f")" != "$base" ]] && rm -f "$f" "$f.json"
+    done
     cp -p "$newest" "$dst/"
     [[ -f "$newest.json" ]] && cp -p "$newest.json" "$dst/"
   fi
