@@ -21,9 +21,14 @@ jax.config.update("jax_platforms", "cpu")
 # The suite is compile-dominated (hundreds of distinct jit programs); a
 # persistent compilation cache cuts warm re-runs to a fraction of the cold
 # time. Keys are program hashes, so code changes invalidate naturally.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("HSIMAE_TEST_COMP_CACHE", "/tmp/jax_test_comp_cache"))
-# CPU test compiles are mostly <1s each (the default cache threshold), but
-# there are hundreds of them — cache everything.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# HSIMAE_TEST_COMP_CACHE=off disables it: on some hosts XLA:CPU serializes
+# AOT executables with a feature set the same host then refuses to reload
+# (hard SIGABRT in get_executable_and_time at a deterministic test, even on
+# a fresh cache written by the same process — round-4 finding; see
+# .claude/skills/verify/SKILL.md).
+_cache = os.environ.get("HSIMAE_TEST_COMP_CACHE", "/tmp/jax_test_comp_cache")
+if _cache and _cache != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    # CPU test compiles are mostly <1s each (the default cache threshold),
+    # but there are hundreds of them — cache everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
