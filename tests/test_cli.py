@@ -70,18 +70,28 @@ def test_benchmark_texture_scene_matches_library_path():
     assert np.array_equal(scene, ref_scene) and np.array_equal(gt, ref_gt)
 
 
-def test_hsimae_platform_env_overrides_jax_config(monkeypatch):
+def test_hsimae_platform_env_overrides_jax_config(monkeypatch, tmp_path):
     """HSIMAE_PLATFORM must win over a sitecustomize that pins jax_platforms
     via jax.config (where the JAX_PLATFORMS env var is silently ignored) —
-    the CPU-fallback path for CLI runs during TPU tunnel outages."""
+    the CPU-fallback path for CLI runs during TPU tunnel outages.
+
+    Every config this helper touches MUST be restored: leaking the
+    production cache dir (/tmp/jax_comp_cache) into the rest of the suite
+    made later tests share it with whatever live TPU job was writing it
+    concurrently — partial entries abort the reader with a C++-level
+    SIGABRT in get_executable_and_time (four round-4 crash incidents,
+    always at the next compile-heavy test)."""
     import jax
 
     from hsimae_tpu.cli.common import enable_compilation_cache
 
     before = jax.config.jax_platforms
+    before_cache = jax.config.jax_compilation_cache_dir
     try:
         monkeypatch.setenv("HSIMAE_PLATFORM", "cpu")
-        enable_compilation_cache()
+        enable_compilation_cache(str(tmp_path / "cc"))
         assert jax.config.jax_platforms == "cpu"
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
     finally:
         jax.config.update("jax_platforms", before)
+        jax.config.update("jax_compilation_cache_dir", before_cache)
