@@ -7,13 +7,15 @@
 #   echo $! > /tmp/round5_queue.pid
 #
 # Priority order (what is still open after round 4):
-#   1. HSIMAE-B texture row @v2 — the flagship's comparison-table entry.
-#      Round-4 evidence: the S model saturated on corpus scaling (v2
-#      selection 0.8104 vs v1 0.7985), so MODEL scale is the remaining
-#      lever vs DBDA's 87.13 OA. Resumes the carried pretrain checkpoint.
+#   1. HSIMAE-B @v2 texture row, frozen-encoder recipe — the flagship's
+#      comparison-table entry under the winning recipe (enc0 put S at
+#      87.46, #1; B is the scale lever). Resumes the carried pretrain.
 #   2. HSIMAE-L reference-scale pretrain (4M patches, remat for activation
 #      headroom) + transfer vs scratch — VERDICT r03 item 4.
-#   3. (reached only if time remains) HSIMAE-S @v2 600-epoch continuation.
+#   3. HSIMAE-B @v2 row under the reference recipe — the uniform-lr
+#      ablation at B scale (completes the recipe-damage story).
+#   4. (reached only if time remains) HSIMAE-S @v2 600-epoch continuation.
+# Ordered by evidence value so an early cutoff keeps the best rows.
 # Every step retries until its artifact exists and every step resumes from
 # periodic checkpoints, so driver-bench takeovers / tunnel outages only cost
 # the un-checkpointed tail. Keep scripts/fast_hunt.sh and a 20-min
@@ -46,19 +48,14 @@ retry 3 /tmp/texture_row_s_v2_enc0.done \
       timeout 7200 python scripts/texture_table.py HSIMAE-S
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 1: HSIMAE-B texture row, 200-scene corpus (v2)"
-retry 4 /tmp/texture_row_b_v2.done \
-  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
-      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2.done \
-      timeout 21600 python scripts/texture_table.py HSIMAE-B
-bash scripts/snapshot_tmp_state.sh
-
-echo "== [$(date +%T)] step 1b: HSIMAE-B @v2 improved-recipe protocol row"
-retry 3 /tmp/texture_row_b_v2_enc0.done \
+echo "== [$(date +%T)] step 1: HSIMAE-B @v2 improved-recipe protocol row"
+# Finishes the carried B pretrain (resumes its newest ckpt) then runs the
+# frozen-encoder protocol — the highest-value row left in the table.
+retry 4 /tmp/texture_row_b_v2_enc0.done \
   env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
       HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_ENC_SCALE=0.0 HSIMAE_TT_DROPPATH=0.0 \
       HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2_enc0.done \
-      timeout 10800 python scripts/texture_table.py HSIMAE-B
+      timeout 21600 python scripts/texture_table.py HSIMAE-B
 bash scripts/snapshot_tmp_state.sh
 
 echo "== [$(date +%T)] step 2: HSIMAE-L refscale pretrain + transfer"
@@ -80,7 +77,14 @@ if [[ -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
 fi
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 3 (stretch): HSIMAE-S @v2, 600-epoch continuation"
+echo "== [$(date +%T)] step 3: HSIMAE-B @v2 reference-recipe row (ablation)"
+retry 3 /tmp/texture_row_b_v2.done \
+  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2.done \
+      timeout 21600 python scripts/texture_table.py HSIMAE-B
+bash scripts/snapshot_tmp_state.sh
+
+echo "== [$(date +%T)] step 4 (stretch): HSIMAE-S @v2, 600-epoch continuation"
 # Seed the continuation workdir from the carried v2 periodic checkpoint
 # (params + opt state at ~epoch 150) so the 600-epoch run RESUMES rather
 # than restarting; run_pretraining picks up the newest ckpt_*.msgpack.
