@@ -7,14 +7,19 @@
 #   echo $! > /tmp/round5_queue.pid
 #
 # Priority order (what is still open after round 4):
-#   1. HSIMAE-B @v2 texture row, frozen-encoder recipe — the flagship's
+#   1. HSIMAE-S @v2 enc0 EXTENDED-GRID probe row (~45 min): the enc0
+#      selection score is monotone increasing up to the reference grid's
+#      top edge (0.479..0.893 at 1e-4..5e-3), so the head-only optimum is
+#      likely above it — probe 2e-2/1e-2/5e-3 cheaply at S scale.
+#   2. HSIMAE-B @v2 texture row, frozen-encoder recipe — the flagship's
 #      comparison-table entry under the winning recipe (enc0 put S at
-#      87.46, #1; B is the scale lever). Resumes the carried pretrain.
-#   2. HSIMAE-L reference-scale pretrain (4M patches, remat for activation
+#      87.46, #1; B is the scale lever). Uses the extended grid iff the
+#      S probe selected above 5e-3. Resumes the carried pretrain.
+#   3. HSIMAE-L reference-scale pretrain (4M patches, remat for activation
 #      headroom) + transfer vs scratch — VERDICT r03 item 4.
-#   3. HSIMAE-B @v2 row under the reference recipe — the uniform-lr
+#   4. HSIMAE-B @v2 row under the reference recipe — the uniform-lr
 #      ablation at B scale (completes the recipe-damage story).
-#   4. (reached only if time remains) HSIMAE-S @v2 600-epoch continuation.
+#   5. (reached only if time remains) HSIMAE-S @v2 600-epoch continuation.
 # Ordered by evidence value so an early cutoff keeps the best rows.
 # Every step retries until its artifact exists and every step resumes from
 # periodic checkpoints, so driver-bench takeovers / tunnel outages only cost
@@ -48,17 +53,42 @@ retry 3 /tmp/texture_row_s_v2_enc0.done \
       timeout 7200 python scripts/texture_table.py HSIMAE-S
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 1: HSIMAE-B @v2 improved-recipe protocol row"
+echo "== [$(date +%T)] step 1: HSIMAE-S @v2 enc0 extended-grid probe row"
+retry 3 /tmp/texture_row_s_v2_enc0_xg.done \
+  env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
+      HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_ENC_SCALE=0.0 HSIMAE_TT_DROPPATH=0.0 \
+      HSIMAE_TT_LR_GRID=2e-2,1e-2,5e-3 \
+      HSIMAE_TT_DONEFILE=/tmp/texture_row_s_v2_enc0_xg.done \
+      timeout 7200 python scripts/texture_table.py HSIMAE-S
+bash scripts/snapshot_tmp_state.sh
+
+# Grid for the B row: extended iff the S probe selected above the reference
+# edge (best_lr > 5e-3); empty means the reference grid.
+B_GRID=$(python - <<'EOF'
+import json
+try:
+    row = json.load(open("/tmp/texture_row_s_v2_enc0_xg.done"))
+    best = max(float(r.get("best_lr") or 0)
+               for k, r in row.items() if "@g" in k) if row else 0
+except Exception:
+    best = 0
+print("2e-2,1e-2,5e-3" if best > 0.005 else "")
+EOF
+)
+echo "== B-row lr grid: ${B_GRID:-reference}"
+
+echo "== [$(date +%T)] step 2: HSIMAE-B @v2 improved-recipe protocol row"
 # Finishes the carried B pretrain (resumes its newest ckpt) then runs the
 # frozen-encoder protocol — the highest-value row left in the table.
 retry 4 /tmp/texture_row_b_v2_enc0.done \
   env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
       HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_ENC_SCALE=0.0 HSIMAE_TT_DROPPATH=0.0 \
+      ${B_GRID:+HSIMAE_TT_LR_GRID=$B_GRID} \
       HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2_enc0.done \
       timeout 21600 python scripts/texture_table.py HSIMAE-B
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 2: HSIMAE-L refscale pretrain + transfer"
+echo "== [$(date +%T)] step 3: HSIMAE-L refscale pretrain + transfer"
 retry 2 /tmp/refscale/pt_l/params_final.msgpack \
   env HSIMAE_REFSCALE_MODEL=HSIMAE-L HSIMAE_REFSCALE_REMAT=1 \
       timeout 10800 python scripts/pretrain_reference_scale.py train
@@ -77,14 +107,14 @@ if [[ -f /tmp/refscale/pt_l/params_final.msgpack ]]; then
 fi
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 3: HSIMAE-B @v2 reference-recipe row (ablation)"
+echo "== [$(date +%T)] step 4: HSIMAE-B @v2 reference-recipe row (ablation)"
 retry 3 /tmp/texture_row_b_v2.done \
   env HSIMAE_TT_TAG=v2 HSIMAE_TT_PT_SCENES=200 HSIMAE_TT_PT_EPOCHS=150 \
       HSIMAE_TT_SIZE_MAX=160 HSIMAE_TT_DONEFILE=/tmp/texture_row_b_v2.done \
       timeout 21600 python scripts/texture_table.py HSIMAE-B
 bash scripts/snapshot_tmp_state.sh
 
-echo "== [$(date +%T)] step 4 (stretch): HSIMAE-S @v2, 600-epoch continuation"
+echo "== [$(date +%T)] step 5 (stretch): HSIMAE-S @v2, 600-epoch continuation"
 # Seed the continuation workdir from the carried v2 periodic checkpoint
 # (params + opt state at ~epoch 150) so the 600-epoch run RESUMES rather
 # than restarting; run_pretraining picks up the newest ckpt_*.msgpack.

@@ -83,6 +83,15 @@ SIZE_RANGE = (int(os.environ.get("HSIMAE_TT_SIZE_MIN", "64")),
 # improved-recipe rows coexist in the table.
 ENC_SCALE = float(os.environ.get("HSIMAE_TT_ENC_SCALE", "1.0"))
 FT_DROP_PATH = float(os.environ.get("HSIMAE_TT_DROPPATH", "0.2"))
+# Optional lr-grid override, e.g. "2e-2,1e-2,5e-3". Round-4 finding: under
+# the frozen-encoder recipe the selection score is monotone INCREASING up to
+# the reference grid's top edge (0.479/0.799/0.858/0.893 at 1e-4..5e-3 —
+# protocol_runs.jsonl), i.e. the reference grid (tuned for full finetuning,
+# `Model_Finetuning.py:311`) clips the head-only optimum. Rows with a custom
+# grid get their own key/resume-dir suffix so grid ablations coexist.
+LR_GRID = tuple(float(x) for x in
+                os.environ.get("HSIMAE_TT_LR_GRID", "").split(",") if x)
+GRID_SUFFIX = ("@g" + "-".join(f"{lr:g}" for lr in LR_GRID)) if LR_GRID else ""
 
 
 def pretrain(name: str) -> str:
@@ -117,6 +126,8 @@ def protocol_row(name: str, ckpt: str) -> dict:
     ft = FinetuneConfig(epochs=FT_EPOCHS, encoder_lr_scale=ENC_SCALE,
                         drop_path=FT_DROP_PATH)
     proto = ProtocolConfig()  # reference grid (5e-3..1e-4), 3+5 seeds
+    if LR_GRID:
+        proto = ProtocolConfig(lr_grid=LR_GRID)
     if os.environ.get("HSIMAE_TT_SMOKE"):  # pipeline smoke: 2 lrs, 1+1 seeds
         proto = ProtocolConfig(lr_grid=(1e-3, 1e-4),
                                selection_seeds=1, test_seeds=1)
@@ -126,7 +137,8 @@ def protocol_row(name: str, ckpt: str) -> dict:
         samples_per_class=SPC, pretrained=load_params(ckpt), gwpca=True,
         resume_dir=f"/tmp/texture_proto_{name}"
                    + (f"_{TAG}" if TAG else "") + (f"_spc{SPC}" if SPC != 10 else "")
-                   + (f"_enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else ""),
+                   + (f"_enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else "")
+                   + GRID_SUFFIX.replace("@", "_"),
     )
     return {
         "best_lr": res.best_lr,
@@ -137,6 +149,7 @@ def protocol_row(name: str, ckpt: str) -> dict:
         "minutes": round((time.perf_counter() - t0) / 60, 1),
         **({"recipe": f"enc_lr_scale={ENC_SCALE:g} drop_path={FT_DROP_PATH:g}"}
            if ENC_SCALE != 1.0 else {}),
+        **({"lr_grid": [f"{lr:g}" for lr in LR_GRID]} if LR_GRID else {}),
     }
 
 
@@ -151,7 +164,8 @@ def main():
             ckpt = pretrain(name)
             key = name + (f"@{TAG}" if TAG else "") \
                 + (f"@{SPC}spc" if SPC != 10 else "") \
-                + (f"@enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else "")
+                + (f"@enc{ENC_SCALE:g}" if ENC_SCALE != 1.0 else "") \
+                + GRID_SUFFIX
             if key in done:
                 print(f"== {key}: protocol row exists, skipping", flush=True)
                 continue
