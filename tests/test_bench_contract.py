@@ -226,6 +226,16 @@ def test_acquire_kills_orphaned_child_of_dead_parent(tmp_path, monkeypatch):
     fake.write_text("import time\ntime.sleep(300)\n")
     orphan = subprocess.Popen([sys.executable, str(fake)])
     try:
+        # wait for the orphan's execve to land: until it does,
+        # /proc/<pid>/cmdline still shows the forked parent's argv (no
+        # "bench.py"), and _kill_orphan_child's recycled-pid guard rightly
+        # refuses to signal it. Under heavy host load the fork->exec window
+        # is long enough to race the acquire below.
+        deadline = time.monotonic() + 30
+        while not bench._is_bench_pid(orphan.pid) \
+                and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert bench._is_bench_pid(orphan.pid), "orphan never exec'd bench.py"
         (tmp_path / "hsimae_bench_child.pid").write_text(str(orphan.pid))
         # parent pidfile points at a DEAD pid (parent was SIGKILLed)
         (tmp_path / "hsimae_bench_parent.pid").write_text("999999")
