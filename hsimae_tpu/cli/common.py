@@ -19,9 +19,15 @@ import os
 from hsimae_tpu.config import ModelConfig, PRESETS, preset
 
 
-def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
+def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent compile cache: on this TPU runtime a train-step compile
     costs 60-500s, so every CLI enables the cache up front.
+
+    Precedence: explicit ``path`` argument > ``JAX_COMPILATION_CACHE_DIR``
+    env var > the production default. The env override lets a harness that
+    invokes CLI mains in-process (the test suite) redirect every CLI's cache
+    to an isolated dir — sharing the live TPU job's cache dir between two
+    processes aborts the reader (see tests/conftest.py).
 
     Also honors ``HSIMAE_PLATFORM`` (e.g. ``cpu``): some runtimes (the axon
     sitecustomize here) pin ``jax_platforms`` via jax.config, which silently
@@ -32,8 +38,12 @@ def enable_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
     plat = os.environ.get("HSIMAE_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR", path))
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                              "/tmp/jax_comp_cache")
+    if not path or path == "off":
+        return  # some hosts abort reloading their own XLA:CPU AOT entries
+    jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

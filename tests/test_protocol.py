@@ -1,6 +1,7 @@
 """The multi-seed selection/test protocol end-to-end at micro scale."""
 
 import numpy as np
+import pytest
 
 from hsimae_tpu.config import EvalConfig, FinetuneConfig, ProtocolConfig, preset
 from hsimae_tpu.data.synthetic import make_synthetic_scene
@@ -23,6 +24,9 @@ def test_run_protocol_micro():
     assert np.isfinite(res.oa_std)
 
 
+@pytest.mark.slow  # subprocess children pay full cold compiles (no persistent
+# cache by default since round 5 — some hosts abort reloading their own AOT
+# entries); >20 min uncached, the single slowest test in the suite
 def test_run_protocol_resumes_after_kill(tmp_path, monkeypatch):
     """Preemption-safety (VERDICT r03 item 7): a protocol killed mid-run
     restarts from protocol_runs.jsonl, skips every completed (lr, seed) run,

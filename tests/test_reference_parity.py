@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/multi-process tier (VERDICT r04 item 7)
+
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference")

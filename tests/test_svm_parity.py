@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # oracle/multi-process tier (VERDICT r04 item 7)
+
 pytest.importorskip("sklearn")
 torch = pytest.importorskip("torch")  # Utils imports are torch-adjacent
 
