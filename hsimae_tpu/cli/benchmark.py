@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None,
                    help="override the per-model epoch count (for smoke runs)")
     p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--scene-seed", type=int, default=None,
+                   help="synthetic-scene seed (default: --seed). Lets a "
+                        "held-out scene be evaluated under the reference "
+                        "protocol's own split/init seeds")
     return p
 
 
@@ -69,7 +73,8 @@ def _load(args):
         return gen(args.synthetic_size, args.synthetic_size,
                    bands=args.synthetic_bands,
                    n_classes=args.synthetic_classes,
-                   seed=args.seed, **kw)
+                   seed=args.scene_seed if args.scene_seed is not None
+                   else args.seed, **kw)
     if not args.scene or not args.gt:
         raise SystemExit("need --scene/--gt or --synthetic")
     return np.load(args.scene), np.load(args.gt)
@@ -142,6 +147,9 @@ def main(argv=None):
             "oa": f"{100*oas.mean():.2f}±{100*oas.std():.2f}",
             "aa": f"{100*aas.mean():.2f}±{100*aas.std():.2f}",
             "kappa": f"{100*kps.mean():.2f}±{100*kps.std():.2f}",
+            # per-seed values: paired per-seed comparisons (HSIMAE vs the
+            # best baseline on the same test seed) need the raw draws
+            "per_seed_oa": [round(100 * float(x), 2) for x in oas],
         }
     print(json.dumps(report, indent=2))
     return report

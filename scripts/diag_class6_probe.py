@@ -40,7 +40,12 @@ from hsimae_tpu.data.sampling import dual_scene_split  # noqa: E402
 from hsimae_tpu.data.synthetic import make_textured_scene  # noqa: E402
 from hsimae_tpu.models.hsimae import HSIMAE  # noqa: E402
 
-CKPT = "/root/repo/artifacts/round_carry/texture_pt_HSIMAE-S_v2/params_final.msgpack"
+# Round-5: checkpoint/preset overridable so the same probe runs on the
+# HSIMAE-B@v2 checkpoint (the collapsed texture rows, VERDICT r04 weak #1).
+CKPT = os.environ.get(
+    "HSIMAE_PROBE_CKPT",
+    "/root/repo/artifacts/round_carry/texture_pt_HSIMAE-S_v2/params_final.msgpack")
+PRESET = os.environ.get("HSIMAE_PROBE_PRESET", "HSIMAE-S")
 NAMES = ["checker-p1", "checker-p2", "h-stripes-p2", "v-stripes-p2",
          "speckle", "checker-p3"]
 
@@ -73,12 +78,18 @@ def probe(xtr, ytr, xte, yte, label: str) -> None:
 def main():
     scene_raw, gt = make_textured_scene(96, 96, bands=103, seed=3407,
                                         cells_per_class=2)
-    cfg = preset("HSIMAE-S")
+    dec = tuple(int(x) for x in
+                os.environ.get("HSIMAE_PROBE_DECODER", "").split(",") if x)
+    cfg = preset(PRESET, **({"decoder_depth": dec[0], "decoder_dim": dec[1]}
+                            if dec else {}))
     rng = np.random.default_rng(3407)
     split = dual_scene_split(scene_raw, gt, patch_size=cfg.img_size, num=10,
                              gwpca=True, nc=cfg.bands, rng=rng)
     model = HSIMAE(cfg)
     params = load_params(CKPT)
+    if isinstance(params, dict) and "params" in params and "step" in params:
+        print(f"(periodic train-state checkpoint, step {params['step']})")
+        params = params["params"]  # probe mid-pretrain ckpt_N.msgpack files
 
     # labeled train windows + all labeled test windows (centered, padded —
     # the same geometry the finetune/eval paths use)
