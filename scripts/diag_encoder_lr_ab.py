@@ -19,12 +19,19 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-# concurrent diag instances MUST NOT share a persistent compile cache
-# (corruption aborts readers — see verify SKILL.md); override per instance
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("HSIMAE_DIAG_COMP_CACHE",
-                                 "/tmp/jax_diag_comp_cache"))
+# Default CPU; HSIMAE_AB_TPU=1 runs on the live device (each 200-epoch
+# finetune is ~4 min there vs ~17 on CPU) — caller must hold the bench slot
+# (main() does) so the fast-session hunter never shares the TPU.
+if os.environ.get("HSIMAE_AB_TPU"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    jax.config.update("jax_platforms", "cpu")
+    # concurrent diag instances MUST NOT share a persistent compile cache
+    # (corruption aborts readers — see verify SKILL.md); override per instance
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("HSIMAE_DIAG_COMP_CACHE",
+                                     "/tmp/jax_diag_comp_cache"))
 
 import numpy as np  # noqa: E402
 
@@ -35,7 +42,12 @@ from hsimae_tpu.data.synthetic import make_textured_scene  # noqa: E402
 from hsimae_tpu.train.evaluate import evaluate_scene  # noqa: E402
 from hsimae_tpu.train.finetune import dual_branch_finetune  # noqa: E402
 
-CKPT = "/root/repo/artifacts/round_carry/texture_pt_HSIMAE-S_v2/params_final.msgpack"
+CKPT = os.environ.get(
+    "HSIMAE_AB_CKPT",
+    "/root/repo/artifacts/round_carry/texture_pt_HSIMAE-S_v2/params_final.msgpack")
+PRESET = os.environ.get("HSIMAE_AB_PRESET", "HSIMAE-S")
+DECODER = tuple(int(x) for x in
+                os.environ.get("HSIMAE_AB_DECODER", "").split(",") if x)
 NAMES = ["checker-p1", "checker-p2", "h-stripes-p2", "v-stripes-p2",
          "speckle", "checker-p3"]
 LR = float(os.environ.get("HSIMAE_AB_LR", "5e-4"))
@@ -47,7 +59,8 @@ DROP_PATH = float(os.environ.get("HSIMAE_AB_DROPPATH", "0.2"))
 def run(scale: float) -> None:
     scene_raw, gt = make_textured_scene(96, 96, bands=103, seed=3407,
                                         cells_per_class=2)
-    cfg = preset("HSIMAE-S")
+    cfg = preset(PRESET, **({"decoder_depth": DECODER[0],
+                             "decoder_dim": DECODER[1]} if DECODER else {}))
     ft = FinetuneConfig(epochs=EPOCHS, lr=LR, encoder_lr_scale=scale,
                         drop_path=DROP_PATH)
     rng = np.random.default_rng(SEED)
@@ -70,7 +83,15 @@ def run(scale: float) -> None:
 
 if __name__ == "__main__":
     scales = [float(a) for a in sys.argv[1:]] or [0.0, 0.05]
-    print(f"baseline (scale=1.0, measured): OA 77.88, checker-p3 25.1; "
-          f"frozen linear probe: OA 89.74", flush=True)
-    for s in scales:
-        run(s)
+    print(f"(S@v2 baselines: scale=1.0 measured OA 77.88, checker-p3 25.1; "
+          f"frozen linear probe OA 89.74)", flush=True)
+    if os.environ.get("HSIMAE_AB_TPU"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tpu_session import hold_bench_slot
+
+        with hold_bench_slot():
+            for s in scales:
+                run(s)
+    else:
+        for s in scales:
+            run(s)
