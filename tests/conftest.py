@@ -42,10 +42,14 @@ if _cache and _cache != "off":
 # by the TPU process abort the reader. enable_compilation_cache honors
 # JAX_COMPILATION_CACHE_DIR, so pin it to an isolated dir for the whole
 # suite (even with HSIMAE_TEST_COMP_CACHE=off — CLI mains force a cache on).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _cache if _cache else "off",  # "off" propagates: CLI mains skip caching
-)
+# Sentinel is the EMPTY string, not "off": jax itself reads this env var as
+# its config default in any subprocess a test spawns, and a non-empty value
+# becomes a literal cache directory there (a "./off" cache dir appeared in
+# the repo root this way). "" is falsy for jax's cache init (disabled) and
+# for enable_compilation_cache (skips).
+if _cache == "off":
+    _cache = ""
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 # The driver-dryrun entry point enables its own (host-keyed) cache; under
 # pytest it runs IN-PROCESS, and jax's cache module initializes at most once
 # per process — the first compile under ANY dir pins that cache for every
